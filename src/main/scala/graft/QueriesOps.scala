@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ops.{Ann, DedupOps, Multimodal, TextOps}
+import graft.Oracles._
+
+/** Training-data pipeline queries: deduplication (exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine), similarity search (brute
+  * force + LSH-bucketed ANN), text analysis, multimodal plumbing.
+  */
+object QueriesOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** documents ∪ re-id'd copies of every 10th doc — gives exact-dup groups
+    * to detect (the raw table has no exact duplicates).
+    */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id").cast("long").as("sid"),
+      DedupOps.shingleTokens(col("text"), 5).as("stoks"))
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "d01_exact_dup" -> ((s, dir) =>
+      DedupOps.exactDuplicates(docsWithDups(s, dir))),
+
+    "d02_minhash" -> ((s, dir) => {
+      val t = Tables.tokens(s, dir)
+      t.select(col("doc_id"),
+        DedupOps.minhash(col("tokens"), 0).as("m0"),
+        DedupOps.minhash(col("tokens"), 1).as("m1"),
+        DedupOps.minhash(col("tokens"), 2).as("m2"),
+        DedupOps.minhash(col("tokens"), 3).as("m3"))
+    }),
+
+    "d03_lsh_pairs" -> ((s, dir) =>
+      DedupOps.lshCandidates(shingled(s, dir), "sid", col("stoks"), k = 16, r = 4)),
+
+    "d04_lsh_jaccard" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val pairs = DedupOps.lshCandidates(sh, "sid", col("stoks"), k = 16, r = 4)
+      DedupOps.jaccard(sh, "sid", col("stoks"), pairs)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"),
+          round(col("jaccard") * 1e6).cast("long").as("jac_e6"))
+    }),
+
+    "d05_simhash" -> ((s, dir) =>
+      DedupOps.simhash16(Tables.tokens(s, dir), "doc_id", col("tokens"))),
+
+    "d06_shingle_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").cast("long").as("sid"),
+        size(DedupOps.shingleTokens(col("text"), 5)).as("n_shingles"),
+        length(col("text")).as("text_len"))),
+
+    "d07_embed_neardup" -> ((s, dir) =>
+      DedupOps.embeddingNearDup(emb(s, dir), window = 200, minCos = 0.35)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos") * 1e6).cast("long").as("cos_e6"))),
+
+    "a01_ann_brute" -> ((s, dir) =>
+      Ann.bruteForceTopK(emb(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("q_id"), col("c_id"),
+          round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
+
+    "a02_ann_lsh" -> ((s, dir) =>
+      Ann.lshTopK(emb(s, dir), col("vec_id") < 10, k = 5, bits = 4)
+        .select(col("q_id"), col("c_id"),
+          round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"), col("bucket"))),
+
+    "t01_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").as("did"),
+        TextOps.langIdHeuristic(col("text")).as("lang_pred"), col("lang"))),
+
+    "t02_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").as("did"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    "t03_tokcount" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").as("did"),
+        TextOps.wordCount(col("text")).as("ws_tokens"),
+        TextOps.regexTokenCount(col("text")).as("re_tokens"))),
+
+    // custom codegen Expression — verified in ScalaTest vs a Scala oracle;
+    // rows-only check from the driver (not SQL-expressible in DuckDB 1.0)
+    "t04_fingerprint_roll" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.tokens(s, dir).select(col("doc_id"),
+        expr("token_fingerprint(tokens)").as("fp_roll"))
+    }),
+
+    "m01_media_meta" -> ((s, dir) =>
+      Multimodal.mediaFromDocs(docs(s, dir)).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("n_bytes"))),
+
+    "m02_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocs(docs(s, dir)), 64, 3)
+        .groupBy("media_id").agg(count(lit(1)).as("frames"))),
+
+    // binary feature extraction (mapPartitions batch path) — rows-only
+    "m03_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))
+        .toDF().select("media_id", "media_type", "n_bytes", "checksum"))
+  )
+
+  private val DupCte =
+    """dd AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dup" -> withCtes(DupCte)(
+      """SELECT md5(text) AS text_hash, count(*) AS dup_cnt, min(doc_id) AS keep_doc_id
+        |FROM dd GROUP BY 1 HAVING count(*) > 1""".stripMargin),
+
+    "d02_minhash" -> withCtes(ToksCte)(
+      s"""SELECT doc_id, ${mhSql("tokens", 0)} AS m0, ${mhSql("tokens", 1)} AS m1,
+         |  ${mhSql("tokens", 2)} AS m2, ${mhSql("tokens", 3)} AS m3 FROM toks""".stripMargin),
+
+    "d03_lsh_pairs" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
+      "SELECT doc_a, doc_b FROM spairs"),
+
+    "d04_lsh_jaccard" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
+      """SELECT i.doc_a, i.doc_b, i.inter, x.sz AS sz_a, y.sz AS sz_b,
+        |  cast(round(round(i.inter*1.0/(x.sz + y.sz - i.inter), 6)*1000000) AS bigint) AS jac_e6
+        |FROM (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS inter
+        |  FROM spairs p
+        |  JOIN (SELECT sid, unnest(stoks) AS tok FROM shingd) a ON a.sid = p.doc_a
+        |  JOIN (SELECT sid, unnest(stoks) AS tok FROM shingd) b ON b.sid = p.doc_b AND b.tok = a.tok
+        |  GROUP BY 1, 2) i
+        |JOIN (SELECT sid, count(*) AS sz FROM (SELECT sid, unnest(stoks) FROM shingd) GROUP BY 1) x ON i.doc_a = x.sid
+        |JOIN (SELECT sid, count(*) AS sz FROM (SELECT sid, unnest(stoks) FROM shingd) GROUP BY 1) y ON i.doc_b = y.sid""".stripMargin),
+
+    "d05_simhash" -> withCtes(ToksCte)({
+      val sums = (0 until 16).map(b =>
+        s"sum(CASE WHEN (t >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val hash = (0 until 16).map(b =>
+        s"(CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""SELECT doc_id, cast($hash AS bigint) AS simhash FROM (
+         |  SELECT doc_id, $sums FROM (SELECT doc_id, unnest(tokens) AS t FROM toks) GROUP BY 1)""".stripMargin
+    }),
+
+    "d06_shingle_stats" -> withCtes(ShingCte)(
+      "SELECT sid, cast(len(stoks) AS int) AS n_shingles, cast(length(text) AS int) AS text_len " +
+        "FROM shingd JOIN documents ON sid = doc_id"),
+
+    "d07_embed_neardup" -> withCtes(EmbCte)(
+      s"""SELECT id_a, id_b, cast(round(cos*1000000) AS bigint) AS cos_e6 FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS cos
+         |  FROM edd a JOIN edd b ON a.label = b.label
+         |    AND b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 200)
+         |WHERE cos >= 0.35""".stripMargin),
+
+    "a01_ann_brute" -> withCtes(EmbCte)(
+      s"""SELECT q_id, c_id, cast(round(cos*1000000) AS bigint) AS cos_e6, rank FROM (
+         |  SELECT q_id, c_id, cos,
+         |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS int) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cosSql("q.v", "c.v")} AS cos
+         |    FROM (SELECT * FROM edd WHERE vec_id < 10) q
+         |    JOIN edd c ON c.vec_id <> q.vec_id))
+         |WHERE rank <= 5""".stripMargin),
+
+    "a02_ann_lsh" -> withCtes(EmbCte)({
+      val bucket = (0 until 4).map { j =>
+        val hdot = s"list_sum(list_transform(v, (x, i) -> x * cast(((i*${j + 3}) % 7 - 3) AS double)))"
+        s"(CASE WHEN $hdot >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT q_id, c_id, cast(round(cos*1000000) AS bigint) AS cos_e6, rank, bucket FROM (
+         |  SELECT q_id, c_id, cos, bucket,
+         |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS int) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket,
+         |      ${cosSql("q.v", "c.v")} AS cos
+         |    FROM (SELECT *, cast($bucket AS bigint) AS bucket FROM edd WHERE vec_id < 10) q
+         |    JOIN (SELECT *, cast($bucket AS bigint) AS bucket FROM edd) c
+         |      ON c.bucket = q.bucket AND c.vec_id <> q.vec_id))
+         |WHERE rank <= 5""".stripMargin
+    }),
+
+    "t01_langid" -> {
+      val noVowel = "replace(replace(replace(replace(replace(text,'a',''),'e',''),'i',''),'o',''),'u','')"
+      s"""SELECT doc_id AS did,
+         |  CASE WHEN ((length(text) - length(replace(text, 'the ', ''))) / 4 * 3
+         |           + (length(text) - length(replace(text, ' and ', ''))) / 5 * 3)
+         |          / greatest(length(text)*1.0, 1.0) > 0.01 THEN 'en'
+         |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.32 THEN 'es'
+         |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.28 THEN 'fr'
+         |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.24 THEN 'de'
+         |       ELSE 'zh' END AS lang_pred,
+         |  lang
+         |FROM documents""".stripMargin
+    },
+
+    "t02_quality" -> {
+      val words = "greatest(len(list_filter(string_split(text, ' '), w -> length(w) > 0)), 1)"
+      val noPunct = "replace(replace(replace(replace(replace(replace(text,'.',''),',',''),'!',''),'?',''),';',''),':','')"
+      s"""SELECT doc_id AS did, cast(floor(
+         |    (CASE WHEN length(text) >= 200 AND length(text) <= 5000 THEN 40.0
+         |          WHEN length(text) >= 50 THEN 25.0 ELSE 5.0 END)
+         |  + (CASE WHEN (length(text)*1.0 - ($words - 1)) / $words >= 3.0
+         |           AND (length(text)*1.0 - ($words - 1)) / $words <= 9.0 THEN 30.0 ELSE 10.0 END)
+         |  + (CASE WHEN ((length(text) - length(replace(text,'the','')))/3
+         |             + (length(text) - length(replace(text,'a ','')))/2) * 1.0 / $words >= 0.05
+         |           AND ((length(text) - length(replace(text,'the','')))/3
+         |             + (length(text) - length(replace(text,'a ','')))/2) * 1.0 / $words <= 0.6 THEN 30.0 ELSE 10.0 END)
+         |  - (length(text) - length($noPunct)) * 1.0 / greatest(length(text)*1.0, 1.0) * 100.0
+         |  ) AS bigint) AS quality
+         |FROM documents""".stripMargin
+    },
+
+    "t03_tokcount" ->
+      """SELECT doc_id AS did,
+        |  cast(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS bigint) AS ws_tokens,
+        |  cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS bigint) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  cast((doc_id % 64) * 16 + 16 AS int) AS width,
+        |  cast((doc_id % 48) * 16 + 16 AS int) AS height,
+        |  cast(octet_length(encode(text)) AS bigint) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "m02_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  cast(floor((greatest(cast(ceil(octet_length(encode(text))*1.0/64) AS int), 1) - 1) / 3) + 1 AS bigint) AS frames
+        |FROM documents""".stripMargin
+  )
+}

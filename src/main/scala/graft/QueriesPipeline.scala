@@ -1,0 +1,346 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Dedup, Enrich, Parse, Report, Route}
+import graft.Oracles._
+
+/** North-rule pipeline queries (parse→dedup→enrich→route→aggregate) plus
+  * relational coverage (joins, windows, rollup, set ops). Each entry is a
+  * (Spark plan, DuckDB oracle SQL) pair with identical column names/types.
+  */
+object QueriesPipeline {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def toks(s: SparkSession, dir: String) = Tables.tokens(s, dir)
+  private def raws(s: SparkSession, dir: String) = Tables.rawEvents(s, dir)
+  private def parsed(s: SparkSession, dir: String) = Parse.parsed(raws(s, dir))
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "p01_tokenize" -> ((s, dir) =>
+      toks(s, dir).select(
+        col("doc_id"), col("n_tok"),
+        aggregate(col("tokens"), lit(0L), (acc, t) => acc + t).as("tok_sum"),
+        graft.ops.TextOps.positionalFingerprint(col("tokens")).as("tok_fp"),
+        col("source"))),
+
+    "p02_tokens_full" -> ((s, dir) =>
+      toks(s, dir).select("doc_id", "tokens", "n_tok", "source")),
+
+    "p03_parse_oplog" -> ((s, dir) => {
+      val r = raws(s, dir).where(col("kind") === "oplog")
+        .withColumn("o", Parse.oplog(col("raw_line")))
+      r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+        col("o.level").as("level"), col("o.contents").as("contents"))
+    }),
+
+    "p04_parse_nginx" -> ((s, dir) => {
+      val r = raws(s, dir).where(col("kind") === "nginx")
+        .withColumn("o", Parse.nginx(col("raw_line")))
+      r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+        col("o.src_ip").as("src_ip"), col("o.method").as("method"),
+        col("o.path").as("path"), col("o.status").as("status"),
+        col("o.resp_bytes").as("resp_bytes"))
+    }),
+
+    "p05_parse_fgt" -> ((s, dir) => {
+      val r = raws(s, dir).where(col("kind") === "fgt")
+        .withColumn("o", Parse.fgt(col("raw_line")))
+      r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+        col("o.src_ip").as("src_ip"), col("o.dst_ip").as("dst_ip"),
+        col("o.proto").as("proto"), col("o.src_port").as("src_port"),
+        col("o.dst_port").as("dst_port"), col("o.action").as("action"))
+    }),
+
+    "p06_parse_zeek" -> ((s, dir) => {
+      val r = raws(s, dir).where(col("kind") === "zeek")
+        .withColumn("o", Parse.zeek(col("raw_line")))
+      r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+        col("o.uid").as("uid"), col("o.src_ip").as("src_ip"),
+        col("o.src_port").as("src_port"), col("o.dst_ip").as("dst_ip"),
+        col("o.dst_port").as("dst_port"), col("o.proto").as("proto"),
+        col("o.duration_ns").as("duration_ns"))
+    }),
+
+    "p07_parse_stats" -> ((s, dir) =>
+      parsed(s, dir).groupBy("kind").agg(
+        count(lit(1)).as("records"),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)).as("ok_cnt"),
+        sum(when(!col("parse_ok"), 1L).otherwise(0L)).as("failed_cnt"))),
+
+    "p08_ts_dedup" -> ((s, dir) =>
+      Dedup.timestampDedup(parsed(s, dir).where(col("parse_ok")),
+        col("ts_raw_ns"), Seq(col("source")), col("line_no"))
+        .select(col("doc_id"), col("source"), col("ts_raw_ns").as("ts_raw"), col("ts_ns"))),
+
+    "p09_consec_dedup" -> ((s, dir) =>
+      Dedup.dropConsecutiveDuplicates(events(s, dir),
+        Seq(col("user_id")), col("event_id"), Seq(col("event_type")))
+        .select("event_id", "user_id", "event_type")),
+
+    "p10_serial" -> ((s, dir) =>
+      toks(s, dir).select(col("doc_id"),
+        Dedup.securitySerial(col("line_no")).as("serial"))),
+
+    "p11_enrich" -> ((s, dir) =>
+      Enrich.withDim(toks(s, dir), Tables.sourceDim(s, dir), "source")
+        .select("doc_id", "source", "vendor", "log_type", "version")),
+
+    "p12_route" -> ((s, dir) =>
+      Route.routed(parsed(s, dir)).groupBy("sink")
+        .agg(count(lit(1)).as("records"))),
+
+    "p13_report" -> ((s, dir) =>
+      Report.perSink(Route.routed(parsed(s, dir)))),
+
+    "p14_pipeline" -> ((s, dir) =>
+      graft.plans.Pipeline.transformed(s, dir)
+        .groupBy("sink", "vendor").agg(
+          count(lit(1)).as("records"),
+          sum(col("bytes")).as("sum_bytes"),
+          sum(col("n_tok")).as("sum_n_tok"),
+          min(col("ts_ns")).as("min_ts"),
+          max(col("ts_ns")).as("max_ts"))),
+
+    "p15_intra_nanos" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("sec",
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(1000000L)).cast("long"))
+      Dedup.intraGroupNanos(e, Seq(col("user_id")), col("sec"), col("event_id"))
+        .select("event_id", "user_id", "sec", "nanos")
+    }),
+
+    "e01_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w) * 100).cast("long").as("run_cents"))
+    }),
+
+    "e02_top_purchasers" -> ((s, dir) => {
+      val agg = events(s, dir).where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(
+          round(sum(col("value")) * 100).cast("long").as("spend_cents"),
+          count(lit(1)).as("records"))
+      val w = Window.orderBy(col("spend_cents").desc, col("user_id"))
+      agg.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+    }),
+
+    "e03_json_extract" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))),
+
+    "e04_hourly_agg" -> ((s, dir) =>
+      events(s, dir).groupBy(
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(3600000000L)).cast("long").as("hour_bucket"),
+        col("event_type")).agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("value")) * 100).cast("long").as("sum_cents"))),
+
+    "q01_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum(col("l_quantity")) * 100).cast("long").as("sum_qty_c"),
+        round(sum(col("l_extendedprice")) * 100).cast("long").as("sum_base_c"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100).cast("long").as("sum_disc_c"),
+        count(lit(1)).as("cnt"))),
+
+    "q03_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "c_mktsegment").agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100).cast("long").as("revenue_cents"),
+          count(lit(1)).as("line_cnt"))),
+
+    "q05_broadcast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name", "r_name").agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100).cast("long").as("revenue_cents"),
+          count(lit(1)).as("cnt"))),
+
+    "q06_rollup" -> ((s, dir) =>
+      Tables.documents(s, dir).rollup("source", "lang")
+        .agg(count(lit(1)).as("records"))),
+
+    "q07_except" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.where(col("source") === "src0").select(col("doc_id").as("did"))
+        .except(d.where(col("lang") === "en").select(col("doc_id").as("did")))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p01_tokenize" -> withCtes(ToksCte)(
+      """SELECT doc_id, cast(len(tokens) AS int) AS n_tok,
+        |  coalesce(cast(list_sum(tokens) AS bigint), 0) AS tok_sum,
+        |  coalesce(cast(list_sum(list_transform(tokens, (t, i) -> cast(t AS bigint) * i)) % 1000000007 AS bigint), 0) AS tok_fp,
+        |  source FROM toks""".stripMargin),
+
+    "p02_tokens_full" -> withCtes(ToksCte)(
+      "SELECT doc_id, tokens, cast(len(tokens) AS int) AS n_tok, source FROM toks"),
+
+    "p03_parse_oplog" -> withCtes(ToksCte, RawCte)(
+      s"""SELECT doc_id,
+         |  try_cast(regexp_extract(raw_line, '$OplogRe', 1) AS bigint)*1000000000
+         |    + try_cast(regexp_extract(raw_line, '$OplogRe', 2) AS bigint)*1000 AS ts_ns,
+         |  regexp_extract(raw_line, '$OplogRe', 3) AS level,
+         |  regexp_extract(raw_line, '$OplogRe', 4) AS contents
+         |FROM rawx WHERE kind='oplog' AND regexp_extract(raw_line, '$OplogRe', 3) <> ''""".stripMargin),
+
+    "p04_parse_nginx" -> withCtes(ToksCte, RawCte)(
+      s"""SELECT doc_id,
+         |  try_cast(regexp_extract(raw_line, '$NginxRe', 2) AS bigint)*1000000000 AS ts_ns,
+         |  regexp_extract(raw_line, '$NginxRe', 1) AS src_ip,
+         |  regexp_extract(raw_line, '$NginxRe', 3) AS method,
+         |  regexp_extract(raw_line, '$NginxRe', 4) AS path,
+         |  try_cast(regexp_extract(raw_line, '$NginxRe', 5) AS int) AS status,
+         |  try_cast(regexp_extract(raw_line, '$NginxRe', 6) AS bigint) AS resp_bytes
+         |FROM rawx WHERE kind='nginx' AND regexp_extract(raw_line, '$NginxRe', 5) <> ''""".stripMargin),
+
+    "p05_parse_fgt" -> withCtes(ToksCte, RawCte)(
+      """SELECT doc_id,
+        |  try_cast(regexp_extract(raw_line, 'date=(\d+)', 1) AS bigint)*1000000000 AS ts_ns,
+        |  regexp_extract(raw_line, 'srcip=([0-9.]+)', 1) AS src_ip,
+        |  regexp_extract(raw_line, 'dstip=([0-9.]+)', 1) AS dst_ip,
+        |  try_cast(regexp_extract(raw_line, 'proto=(\d+)', 1) AS int) AS proto,
+        |  try_cast(regexp_extract(raw_line, 'srcport=(\d+)', 1) AS int) AS src_port,
+        |  try_cast(regexp_extract(raw_line, 'dstport=(\d+)', 1) AS int) AS dst_port,
+        |  regexp_extract(raw_line, 'action=(\w+)', 1) AS action
+        |FROM rawx WHERE kind='fgt' AND regexp_extract(raw_line, 'date=(\d+)', 1) <> ''""".stripMargin,
+      ),
+
+    "p06_parse_zeek" -> withCtes(ToksCte, RawCte)(
+      """SELECT doc_id,
+        |  try_cast(string_split(f[1], '.')[1] AS bigint)*1000000000 + try_cast(string_split(f[1], '.')[2] AS bigint)*1000 AS ts_ns,
+        |  f[2] AS uid, f[3] AS src_ip, try_cast(f[4] AS int) AS src_port,
+        |  f[5] AS dst_ip, try_cast(f[6] AS int) AS dst_port, f[7] AS proto,
+        |  CASE WHEN f[8]='-' THEN 0 ELSE cast(round(try_cast(f[8] AS double)*1000000000) AS bigint) END AS duration_ns
+        |FROM (SELECT doc_id, string_split(raw_line, chr(9)) AS f FROM rawx WHERE kind='zeek')
+        |WHERE len(f) >= 8""".stripMargin),
+
+    "p07_parse_stats" -> withCtes(ToksCte, RawCte, ParsedCte)(
+      """SELECT kind, count(*) AS records,
+        |  cast(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) AS bigint) AS ok_cnt,
+        |  cast(sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) AS bigint) AS failed_cnt
+        |FROM parsedx GROUP BY kind""".stripMargin),
+
+    "p08_ts_dedup" -> withCtes(ToksCte, RawCte, ParsedCte)(
+      """SELECT doc_id, source, ts_raw_ns AS ts_raw,
+        |  ts_raw_ns + row_number() OVER (PARTITION BY source, ts_raw_ns ORDER BY line_no) - 1 AS ts_ns
+        |FROM parsedx WHERE parse_ok""".stripMargin),
+
+    "p09_consec_dedup" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events) WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
+    "p10_serial" -> withCtes(ToksCte)(
+      "SELECT doc_id, ((line_no - 1) % 999) + 1 AS serial FROM toks"),
+
+    "p11_enrich" -> withCtes(ToksCte, DimCte)(
+      """SELECT t.doc_id, t.source, d.vendor, d.log_type, d.version
+        |FROM toks t LEFT JOIN dim d USING (source)""".stripMargin),
+
+    "p12_route" -> withCtes(ToksCte, RawCte, ParsedCte)(
+      """SELECT CASE WHEN NOT parse_ok THEN 'quarantine' ELSE kind END AS sink,
+        |  count(*) AS records
+        |FROM parsedx GROUP BY 1""".stripMargin),
+
+    "p13_report" -> withCtes(ToksCte, RawCte, ParsedCte)(
+      """SELECT CASE WHEN NOT parse_ok THEN 'quarantine' ELSE kind END AS sink,
+        |  count(*) AS records,
+        |  cast(sum(bytes) AS bigint) AS sum_bytes,
+        |  min(bytes) AS min_bytes, max(bytes) AS max_bytes,
+        |  cast(floor(sum(bytes)*1.0/count(*)) AS bigint) AS avg_bytes_floor,
+        |  cast(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) AS bigint) AS success_cnt,
+        |  cast(sum(CASE WHEN parse_ok THEN 0 ELSE 1 END) AS bigint) AS failed_cnt
+        |FROM parsedx GROUP BY 1""".stripMargin),
+
+    "p14_pipeline" -> withCtes(ToksCte, RawCte, ParsedCte, DimCte)(
+      """SELECT sink, vendor, count(*) AS records,
+        |  cast(sum(bytes) AS bigint) AS sum_bytes,
+        |  cast(sum(n_tok) AS bigint) AS sum_n_tok,
+        |  min(ts_ns) AS min_ts, max(ts_ns) AS max_ts
+        |FROM (
+        |  SELECT d.*, m.vendor,
+        |    CASE WHEN NOT d.parse_ok THEN 'quarantine' ELSE d.kind END AS sink
+        |  FROM (
+        |    SELECT *, ts_raw_ns + row_number() OVER (PARTITION BY source, ts_raw_ns ORDER BY line_no) - 1 AS ts_ns
+        |    FROM parsedx) d
+        |  LEFT JOIN dim m USING (source))
+        |GROUP BY 1, 2""".stripMargin),
+
+    "p15_intra_nanos" ->
+      """SELECT event_id, user_id,
+        |  cast(floor(epoch_us(ts)/1000000) AS bigint) AS sec,
+        |  row_number() OVER (PARTITION BY user_id, cast(floor(epoch_us(ts)/1000000) AS bigint) ORDER BY event_id) - 1 AS nanos
+        |FROM events""".stripMargin,
+
+    "e01_running_sum" ->
+      """SELECT event_id, user_id,
+        |  cast(round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) AS bigint) AS run_cents
+        |FROM events""".stripMargin,
+
+    "e02_top_purchasers" ->
+      """SELECT user_id, spend_cents, records, rnk FROM (
+        |  SELECT user_id, spend_cents, records,
+        |    cast(row_number() OVER (ORDER BY spend_cents DESC, user_id) AS int) AS rnk
+        |  FROM (
+        |    SELECT user_id, cast(round(sum(value)*100) AS bigint) AS spend_cents,
+        |      count(*) AS records
+        |    FROM events WHERE event_type='purchase' GROUP BY user_id))
+        |WHERE rnk <= 5""".stripMargin,
+
+    "e03_json_extract" ->
+      """SELECT event_id, try_cast(regexp_extract(props, '"k": (\d+)', 1) AS int) AS k FROM events""",
+
+    "e04_hourly_agg" ->
+      """SELECT cast(floor(epoch_us(ts)/3600000000) AS bigint) AS hour_bucket, event_type,
+        |  count(*) AS cnt, cast(round(sum(value)*100) AS bigint) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(round(sum(l_quantity)*100) AS bigint) AS sum_qty_c,
+        |  cast(round(sum(l_extendedprice)*100) AS bigint) AS sum_base_c,
+        |  cast(round(sum(l_extendedprice*(1-l_discount))*100) AS bigint) AS sum_disc_c,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q03_join" ->
+      """SELECT l_orderkey, c_mktsegment,
+        |  cast(round(sum(l_extendedprice*(1-l_discount))*100) AS bigint) AS revenue_cents,
+        |  count(*) AS line_cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q05_broadcast" ->
+      """SELECT n_name, r_name,
+        |  cast(round(sum(l_extendedprice*(1-l_discount))*100) AS bigint) AS revenue_cents,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q06_rollup" ->
+      "SELECT source, lang, count(*) AS records FROM documents GROUP BY ROLLUP (source, lang)",
+
+    "q07_except" ->
+      """SELECT doc_id AS did FROM documents WHERE source='src0'
+        |EXCEPT
+        |SELECT doc_id AS did FROM documents WHERE lang='en'""".stripMargin
+  )
+}

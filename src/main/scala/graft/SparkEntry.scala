@@ -1,13 +1,32 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the training-data ops)
+  * has a `queries` entry; those expressible in ANSI SQL have a DuckDB twin
+  * in `oracleSql` built from the exact same integer/string arithmetic so the
+  * driver's hash compare matches value-for-value.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def prep(spark: SparkSession): SparkSession = {
+    // non-ANSI: malformed field → NULL (the reference drops-and-counts bad
+    // records, never aborts — /root/reference/src/collector/zeek.rs:118-139)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Flagship: full parse→dedup→enrich→route pipeline aggregate on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("p14_pipeline")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (QueriesPipeline.queries ++ QueriesOps.queries).map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => fn(prep(s), dir))
+    }.toMap
+
+  def oracleSql: Map[String, String] =
+    QueriesPipeline.oracles ++ QueriesOps.oracles
 }

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * All hash arithmetic is pure int64 (linear-congruential over token ids /
+  * md5 over text) so the DuckDB oracle reproduces values exactly — no
+  * engine-specific hash functions in any correctness-checked path.
+  *
+  * Scale design: every operator is groupBy/join on a derived key — fully
+  * shuffle-parallel, no driver-side state, no quadratic blowup:
+  * exact dedup is one hash aggregate; MinHash-LSH joins on band keys
+  * (O(candidates), not O(n²)); SimHash groups on a 16-bit key; verification
+  * joins are confined to candidate pairs.
+  */
+object DedupOps {
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for LCG hashing
+
+  /** Exact dedup: md5(text) groups; keep min doc_id as canonical
+    * representative. One map-side-combined hash aggregate — at 100 TB the
+    * shuffle carries one row per distinct hash.
+    */
+  def exactDuplicates(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("keep_doc_id"))
+      .where(col("dup_cnt") > 1)
+
+  /** Keep one representative row per exact-duplicate group. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** j-th MinHash over an int-token array: min over tokens of the LCG
+    * permutation ((a_j·t + b_j) mod P). Min over the multiset equals min
+    * over the set, so no dedup of tokens needed.
+    */
+  def minhash(tokens: Column, j: Int): Column = {
+    val a = (1664525L * (j + 1)) % P
+    val b = (1013904223L * (j + 1)) % P
+    array_min(transform(tokens, t => (lit(a) * t.cast("long") + lit(b)) % lit(P)))
+  }
+
+  /** k-wide MinHash signature. */
+  def minhashSignature(tokens: Column, k: Int): Column =
+    array((0 until k).map(minhash(tokens, _)): _*)
+
+  /** LSH band keys: signature split into bands of r rows; docs sharing any
+    * band key are near-dup candidates. banded() explodes to (doc, band_idx,
+    * band_key) — candidates come from a self-join on (band_idx, band_key).
+    */
+  def banded(df: DataFrame, tokens: Column, k: Int, r: Int): DataFrame = {
+    require(k % r == 0, "k must be divisible by r")
+    val sig = minhashSignature(tokens, k)
+    val bands = (0 until k / r).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        concat_ws("_", (0 until r).map(o => element_at(sig, bi * r + o + 1).cast("string")): _*).as("band_key"))
+    }
+    df.withColumn("__band", explode(array(bands: _*)))
+      .withColumn("band_idx", col("__band.band_idx"))
+      .withColumn("band_key", col("__band.band_key"))
+      .drop("__band")
+  }
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b), deduped across bands. */
+  def lshCandidates(docs: DataFrame, idCol: String, tokens: Column, k: Int = 8, r: Int = 2): DataFrame = {
+    val b = banded(docs.select(col(idCol), tokens.as("__toks")), col("__toks"), k, r)
+      .select(col(idCol), col("band_idx"), col("band_key"))
+    val l = b.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
+    val rgt = b.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
+    l.join(rgt, Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard over distinct token sets for given candidate pairs —
+    * relational form (explode + join + count) so it runs at any scale and
+    * has a direct SQL twin. pairs: (doc_a, doc_b).
+    */
+  def jaccard(docs: DataFrame, idCol: String, tokens: Column, pairs: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"), explode(array_distinct(tokens)).as("tok"))
+    val sizes = toks.groupBy("__id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(toks.withColumnRenamed("__id", "doc_a").withColumnRenamed("tok", "tok_a"), "doc_a")
+      .join(toks.withColumnRenamed("__id", "doc_b").withColumnRenamed("tok", "tok_b"), "doc_b")
+      .where(col("tok_a") === col("tok_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+  }
+
+  /** 16-bit SimHash over token ids: bit b of the hash is the sign of
+    * Σ_tokens (2·bit_b(t) − 1). Computed with explode + one groupBy carrying
+    * 16 conditional sums (map-side combined; shuffle = one row per doc).
+    */
+  def simhash16(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val e = docs.select(col(idCol), explode(tokens).as("t"))
+    val sums = (0 until 16).map { b =>
+      sum(when(shiftright(col("t"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val agg = e.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val hash = (0 until 16).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** Character n-gram shingles of a text column (positional substrings —
+    * portable; used for n-gram Jaccard near-dup).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct int32 shingle tokens: base-31 ascii hash of each n-char
+    * shingle mod 2^31−1 — pure arithmetic, identical in the SQL oracle.
+    * This is the shingle→int step of the MinHash pipeline
+    * (shingle → minhash → band → bucket-join).
+    */
+  def shingleTokens(text: Column, n: Int): Column = {
+    def hashAt(i: Column): Column = {
+      val acc = (0 until n).foldLeft(lit(0L)) { (acc, j) =>
+        acc * lit(31L) + ascii(text.substr(i + lit(j), lit(1)))
+      }
+      (acc % lit(P)).cast("int")
+    }
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - lit(n - 1)), hashAt _)))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** Embedding cosine near-duplicates with sorted-neighborhood blocking:
+    * candidate pairs are limited to ids within `window` of each other inside
+    * a label block — linear candidate count, no n² cross join. Cosine is a
+    * sequential double fold (bit-identical in the SQL oracle).
+    */
+  def embeddingNearDup(emb: DataFrame, window: Int, minCos: Double): DataFrame = {
+    val asD = transform(col("embedding"), x => x.cast("double"))
+    val e = emb.select(col("vec_id"), col("label"), asD.as("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(zip_with(col("va"), col("va"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(zip_with(col("vb"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    a.join(b, Seq("label"))
+      .where(col("id_b") > col("id_a") && col("id_b") - col("id_a") <= window)
+      .withColumn("cos", round(dot / (na * nb), 6))
+      .where(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed partition-at-a-time (the Scala analog of
+  * mapInPandas batch processing: one iterator pass per partition, constant
+  * memory, no per-row closure dispatch in the hot loop).
+  *
+  * The actual media codecs are NOT in this container, so `decode` is a
+  * clearly-marked deterministic STUB; everything around it — schema,
+  * partitioning, batch iteration shape, frame sampling — is real and tested.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte],
+                            width: Int, height: Int)
+  final case class MediaFeature(media_id: Long, media_type: String, n_bytes: Long,
+                                checksum: Long, feat: Array[Float])
+
+  /** Deterministic media table derived from documents: text bytes stand in
+    * for the opaque payload; metadata derived from doc fields.
+    */
+  def mediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3).cast("int") + 1).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      ((col("doc_id") % 64) * 16 + 16).cast("int").as("width"),
+      ((col("doc_id") % 48) * 16 + 16).cast("int").as("height")
+    ).as[MediaRow]
+  }
+
+  /** STUB decode: a real build would call an image/audio codec here
+    * (libjpeg / ffmpeg via JNI or an exec'd worker). The deterministic fake
+    * derives an 8-float "feature" from payload byte statistics so the
+    * pipeline around it is fully testable.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      feat(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    feat
+  }
+
+  /** Partition-batched feature extraction. */
+  def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { m =>
+        var sum = 0L
+        var i = 0
+        while (i < m.payload.length) { sum = (sum * 31 + (m.payload(i) & 0xff)) % 1000000007L; i += 1 }
+        MediaFeature(m.media_id, m.media_type, m.payload.length.toLong, sum, decodeStub(m.payload))
+      }
+    }
+  }
+
+  /** Frame sampling: slice the payload into fixed-size "frames" and keep
+    * every `stride`-th — the Spark-side shape of video frame extraction
+    * (posexplode over computed slices; the decode itself is the stub).
+    */
+  def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
+    val withFrames = ds.toDF().withColumn("n_frames",
+      greatest(ceil(length(col("payload")) / lit(frameBytes)).cast("int"), lit(1)))
+    withFrames
+      .select(col("media_id"), col("media_type"),
+        explode(filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0)).as("frame_idx"),
+        col("payload"))
+      .withColumn("frame", col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .drop("payload")
+  }
+}

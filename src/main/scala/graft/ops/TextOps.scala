@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * All pure Catalyst expressions (codegen'd string ops) with exact DuckDB
+  * twins — no UDFs anywhere.
+  */
+object TextOps {
+
+  /** Occurrences of a literal substring (non-overlapping):
+    * (len(s) − len(replace(s, sub, ''))) / len(sub).
+    */
+  def substrCount(s: Column, sub: String): Column =
+    ((length(s) - length(replace(s, lit(sub), lit("")))) / sub.length).cast("long")
+
+  /** Whitespace word count. */
+  def wordCount(text: Column): Column = size(filter(split(text, " "), w => length(w) > 0)).cast("long")
+
+  /** BPE-ish token count: maximal runs of word chars plus single non-space
+    * non-word chars (regex token model, counted not materialized).
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
+  /** n-gram language-ID heuristic: score common-substring frequencies and
+    * pick the argmax class. Deterministic, portable (the testdata text is
+    * synthetic; the operator's shape — scored n-gram banks + argmax — is
+    * what matters at scale).
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val n = greatest(length(text).cast("double"), lit(1.0))
+    val enScore = (substrCount(text, "the ") * 3 + substrCount(text, " and ") * 3) / n
+    val vowels = (length(text) - length(translate(text, "aeiou", ""))).cast("double") / n
+    when(enScore > lit(0.01), lit("en"))
+      .when(vowels > lit(0.32), lit("es"))
+      .when(vowels > lit(0.28), lit("fr"))
+      .when(vowels > lit(0.24), lit("de"))
+      .otherwise(lit("zh"))
+  }
+
+  /** Quality score ∈ [0,100]: length band + word-shape + stopword ratio −
+    * punctuation penalty. Integer-valued output → oracle-exact.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val words = greatest(wordCount(text), lit(1L)).cast("double")
+    val meanWordLen = (len - (words - 1)) / words
+    val stopRatio = (substrCount(text, "the") + substrCount(text, "a ")).cast("double") / words
+    val punct = (length(text) - length(translate(text, ".,!?;:", ""))).cast("double") / greatest(len, lit(1.0))
+    val lenBand = when(len >= 200 && len <= 5000, lit(40.0))
+      .when(len >= 50, lit(25.0)).otherwise(lit(5.0))
+    val shapeBand = when(meanWordLen >= 3.0 && meanWordLen <= 9.0, lit(30.0)).otherwise(lit(10.0))
+    val stopBand = when(stopRatio >= 0.05 && stopRatio <= 0.6, lit(30.0)).otherwise(lit(10.0))
+    floor(lenBand + shapeBand + stopBand - punct * 100.0).cast("long")
+  }
+
+  /** Position-weighted token fingerprint: Σ tokens[i]·(i+1) mod 1e9+7 —
+    * order-sensitive, overflow-free (tokens < 2^15, positions < 2^20), and
+    * exactly computable in SQL via an indexed list transform. A stronger
+    * rolling polynomial hash is provided natively by
+    * [[graft.functions.TokenFingerprint]] (custom codegen Expression).
+    */
+  def positionalFingerprint(tokens: Column): Column =
+    aggregate(
+      zip_with(tokens, sequence(lit(1), size(tokens)), (t, i) => t.cast("long") * i.cast("long")),
+      lit(0L), (acc, x) => acc + x) % lit(1000000007L)
+}

@@ -96,7 +96,7 @@ object Oracles {
   }
 
   private val P = 2147483647L
-  def mhA(j: Int): Long = (1664525L * (j + 1)) % P
+  def mhA(j: Int): Long = (2654435761L * (j + 1)) % P
   def mhB(j: Int): Long = (1013904223L * (j + 1)) % P
 
   /** Minhash m{j} over a list column, SQL side. */

@@ -40,7 +40,10 @@ object DedupOps {
     * over the set, so no dedup of tokens needed.
     */
   def minhash(tokens: Column, j: Int): Column = {
-    val a = (1664525L * (j + 1)) % P
+    // Knuth multiplier: a·t wraps P even for small t, so the permutation
+    // mixes (a small multiplier is monotone on small ids → min-hash would
+    // always elect the smallest token)
+    val a = (2654435761L * (j + 1)) % P
     val b = (1013904223L * (j + 1)) % P
     array_min(transform(tokens, t => (lit(a) * t.cast("long") + lit(b)) % lit(P)))
   }

@@ -80,17 +80,21 @@ object Oracles {
       |    'v' || cast((cast(substr(source, 4) AS int) % 3) + 1 AS varchar) AS version
       |  FROM documents)""".stripMargin
 
-  /** Twin of DedupOps.shingleTokens(text, 5): distinct int32 5-gram hashes.
+  /** Twin of DedupOps.shingleTokens(text, 8): distinct int32 8-gram hashes.
     * The base-31 fold is generated to guarantee paren balance with the
-    * Spark side's foldLeft.
+    * Spark side's foldLeft; the accumulator starts as BIGINT because the
+    * 8-char fold exceeds int32 (31^7·127 ≈ 3.5e12). Width 8 keeps the LSH
+    * candidate set proportional to true near-dups on this corpus (5-gram
+    * shingles collide across ~38% of all doc pairs — measured at sf0.1 —
+    * which would make the Jaccard verify stage quadratic).
     */
   val ShingCte: String = {
-    val hash = (0 until 5).foldLeft("0") { (acc, j) =>
+    val hash = (0 until 8).foldLeft("cast(0 AS bigint)") { (acc, j) =>
       s"($acc*31 + ascii(substr(text, cast(i+$j AS int), 1)))"
     }
     s"""shingd AS (
        |  SELECT doc_id AS sid,
-       |    list_distinct(list_transform(range(1, greatest(length(text)-4, 0)+1),
+       |    list_distinct(list_transform(range(1, greatest(length(text)-7, 0)+1),
        |      i -> cast($hash % 2147483647 AS int))) AS stoks
        |  FROM documents)""".stripMargin
   }

@@ -29,7 +29,7 @@ object QueriesOps {
 
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id").cast("long").as("sid"),
-      DedupOps.shingleTokens(col("text"), 5).as("stoks"))
+      DedupOps.shingleTokens(col("text"), 8).as("stoks"))
 
   val queries: Seq[(String, QFn)] = Seq(
     "d01_exact_dup" -> ((s, dir) =>
@@ -60,7 +60,7 @@ object QueriesOps {
 
     "d06_shingle_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").cast("long").as("sid"),
-        size(DedupOps.shingleTokens(col("text"), 5)).as("n_shingles"),
+        size(DedupOps.shingleTokens(col("text"), 8)).as("n_shingles"),
         length(col("text")).as("text_len"))),
 
     "d07_embed_neardup" -> ((s, dir) =>

@@ -49,10 +49,10 @@ class OpsSpec extends SparkSpec {
 
   test("LSH candidates recover planted near-duplicate pairs (recall on jaccard>=0.9)") {
     val sh = Tables.documents(spark, Sf).select(col("doc_id").cast("long").as("sid"),
-      DedupOps.shingleTokens(col("text"), 5).as("stoks"))
+      DedupOps.shingleTokens(col("text"), 8).as("stoks"))
     val cands = DedupOps.lshCandidates(sh, "sid", col("stoks"), 16, 4)
     val withJ = DedupOps.jaccard(sh, "sid", col("stoks"), cands)
-    // the testdata plants near-dups (verified: pairs with 5-gram jaccard >= 0.9 exist);
+    // the testdata plants near-dups (verified: pairs with 8-gram jaccard >= 0.9 exist);
     // banding with k=16,r=4 must surface them
     assert(withJ.where(col("jaccard") >= 0.9).count() > 0)
   }

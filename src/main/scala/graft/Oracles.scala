@@ -129,6 +129,16 @@ object Oracles {
       |  FROM sbands a JOIN sbands b USING (band_idx, band_key)
       |  WHERE a.sid < b.sid)""".stripMargin
 
+  /** Family-2 datetime components (twin of Tables.rawLine2's dtParts). */
+  val V2Cte: String =
+    """v2 AS (
+      |  SELECT doc_id AS did,
+      |    'doc-' || lpad(cast(doc_id AS varchar), 12, '0') AS doc_id,
+      |    cast(1 + doc_id % 12 AS int) AS mo, cast(10 + doc_id % 19 AS int) AS dy,
+      |    cast(doc_id % 24 AS int) AS hh, cast(doc_id % 60 AS int) AS mi,
+      |    cast((doc_id*7) % 60 AS int) AS ss
+      |  FROM documents)""".stripMargin
+
   /** Twin of Ann: embeddings as double vectors + cosine helpers. */
   val EmbCte: String =
     """edd AS (

@@ -173,6 +173,43 @@ object QueriesPipeline {
       val d = Tables.documents(s, dir)
       d.where(col("source") === "src0").select(col("doc_id").as("did"))
         .except(d.where(col("lang") === "en").select(col("doc_id").as("did")))
+    }),
+
+    "p16_parse_wapples" -> ((s, dir) => {
+      val r = Tables.rawEvents2(s, dir).where(col("kind") === "wapples")
+        .withColumn("o", graft.operators.ParseVendors.wapples(col("raw_line")))
+      r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+        col("o.src_ip").as("src_ip"), col("o.rule").as("rule"),
+        col("o.action").as("action"))
+    }),
+
+    "p17_parse_ubuntu" -> ((s, dir) => {
+      val r = Tables.rawEvents2(s, dir).where(col("kind") === "ubuntu")
+        .withColumn("o", graft.operators.ParseVendors.ubuntu(col("raw_line"),
+          Dedup.securitySerial(col("line_no"))))
+      r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+        col("o.host").as("host"), col("o.daemon").as("daemon"),
+        col("o.pid").as("pid"), col("o.contents").as("contents"))
+    }),
+
+    "p18_parse_sysmon" -> ((s, dir) => {
+      val r = Tables.rawEvents2(s, dir).where(col("kind") === "sysmon")
+        .withColumn("o", graft.operators.ParseVendors.sysmon(col("raw_line")))
+      r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+        col("o.provider").as("provider"), col("o.event_code").as("event_code"),
+        col("o.image").as("image"), col("o.logon_id").as("logon_id"),
+        col("o.hashes").as("hashes"))
+    }),
+
+    "p19_netflow_decode" -> ((s, dir) => {
+      val r = Tables.nfPackets(s, dir)
+        .withColumn("o", graft.operators.BinaryDecode.netflowV5(col("packet")))
+      r.where(col("o.ok")).select(col("doc_id"),
+        col("o.version").as("version"), col("o.flow_count").as("flow_count"),
+        col("o.sys_uptime").as("sys_uptime"), col("o.unix_secs").as("unix_secs"),
+        graft.operators.BinaryDecode.ipv4String(col("o.srcaddr")).as("src_ip"),
+        col("o.src_port").as("src_port"), col("o.dst_port").as("dst_port"),
+        col("o.d_octets").as("d_octets"))
     })
   )
 
@@ -341,6 +378,50 @@ object QueriesPipeline {
     "q07_except" ->
       """SELECT doc_id AS did FROM documents WHERE source='src0'
         |EXCEPT
-        |SELECT doc_id AS did FROM documents WHERE lang='en'""".stripMargin
+        |SELECT doc_id AS did FROM documents WHERE lang='en'""".stripMargin,
+
+    // family-2 oracles: independent arithmetic re-derivation from doc_id
+    // (the oracle does NOT re-parse the line — it computes what the parse
+    // must produce, so a Spark-side parse bug cannot self-confirm)
+    "p16_parse_wapples" -> withCtes(V2Cte)(
+      """SELECT doc_id, (epoch_us(make_timestamp(2023, mo, dy, hh, mi, cast(ss AS double))) - 32400000000)*1000 AS ts_ns,
+        |  '10.1.1.' || cast(did % 200 + 1 AS varchar) AS src_ip,
+        |  'r' || cast(did % 50 AS varchar) AS rule,
+        |  CASE WHEN did % 2 = 0 THEN 'allow' ELSE 'block' END AS action
+        |FROM v2 WHERE did % 3 = 0""".stripMargin),
+
+    "p17_parse_ubuntu" -> withCtes(V2Cte)(
+      """SELECT doc_id,
+        |  epoch_us(make_timestamp(2025, mo, dy, hh, mi, cast(ss AS double)))*1000 + ((did - 1) % 999) + 1 AS ts_ns,
+        |  'host' || cast(did % 20 AS varchar) AS host, 'sshd' AS daemon,
+        |  cast(did % 9000 + 100 AS int) AS pid,
+        |  'Failed password for user' || cast(did AS varchar) || ' from 10.0.0.5' AS contents
+        |FROM v2 WHERE did % 3 = 1""".stripMargin),
+
+    "p18_parse_sysmon" -> withCtes(V2Cte)({
+      val fold = (1 to 5).foldLeft("cast(0 AS bigint)") { (acc, i) =>
+        s"($acc*16 + (ascii(substr(hx,$i,1))-48))"
+      }
+      s"""SELECT doc_id,
+         |  (epoch_us(make_timestamp(2023, mo, dy, hh, mi, cast(ss AS double))) + (did % 1000)*1000)*1000 AS ts_ns,
+         |  'Microsoft-Windows-Sysmon' AS provider, cast(1 AS int) AS event_code,
+         |  'proc' || cast(did % 40 AS varchar) || '.exe' AS image,
+         |  $fold AS logon_id,
+         |  ['SHA1=s' || cast(did AS varchar), 'MD5=m' || cast(did AS varchar)] AS hashes
+         |FROM (SELECT *, lpad(cast(did % 100000 AS varchar), 5, '0') AS hx FROM v2)
+         |WHERE did % 3 = 2""".stripMargin
+    }),
+
+    "p19_netflow_decode" -> withCtes(V2Cte)(
+      """SELECT doc_id, cast(5 AS bigint) AS version, cast(1 AS bigint) AS flow_count,
+        |  cast(did % 100000 AS bigint) AS sys_uptime,
+        |  cast(1700000000 + did % 1000 AS bigint) AS unix_secs,
+        |  cast(cast(floor(sa/16777216) AS bigint) % 256 AS varchar) || '.' ||
+        |    cast(cast(floor(sa/65536) AS bigint) % 256 AS varchar) || '.' ||
+        |    cast(cast(floor(sa/256) AS bigint) % 256 AS varchar) || '.' ||
+        |    cast(sa % 256 AS varchar) AS src_ip,
+        |  cast(1024 + did % 60000 AS bigint) AS src_port, cast(443 AS bigint) AS dst_port,
+        |  cast(did % 4294967296 AS bigint) AS d_octets
+        |FROM (SELECT *, (did * 2654435761) % 4294967296 AS sa FROM v2)""".stripMargin)
   )
 }

@@ -52,27 +52,42 @@ object DedupOps {
   def minhashSignature(tokens: Column, k: Int): Column =
     array((0 until k).map(minhash(tokens, _)): _*)
 
-  /** LSH band keys: signature split into bands of r rows; docs sharing any
-    * band key are near-dup candidates. banded() explodes to (doc, band_idx,
-    * band_key) — candidates come from a self-join on (band_idx, band_key).
+  /** k-wide MinHash signature as k aggregate columns m0..m{k-1} via
+    * explode + groupBy(min) — NOT an array `transform` HOF: higher-order
+    * functions are CodegenFallback (interpreted), and Catalyst's project
+    * collapse re-inlines the signature into every consumer, turning each
+    * band key into a full signature recomputation (measured: 15+ min for
+    * 5k docs, single-threaded). The aggregate form is whole-stage-codegen'd
+    * with map-side combine, shuffles one row per doc, and parallelizes over
+    * (doc, token) rather than per-doc arrays.
     */
-  def banded(df: DataFrame, tokens: Column, k: Int, r: Int): DataFrame = {
+  def minhashSigAgg(docs: DataFrame, idCol: String, tokens: Column, k: Int): DataFrame = {
+    val e = docs.select(col(idCol), explode(array_distinct(tokens)).as("__t"))
+    val aggs = (0 until k).map { j =>
+      val a = (2654435761L * (j + 1)) % P
+      val b = (1013904223L * (j + 1)) % P
+      min((lit(a) * col("__t").cast("long") + lit(b)) % lit(P)).as(s"m$j")
+    }
+    e.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band rows: (id, band_idx, band_key) from the aggregate signature;
+    * band keys are plain-column string concats (cheap, evaluated once).
+    */
+  def banded(docs: DataFrame, idCol: String, tokens: Column, k: Int, r: Int): DataFrame = {
     require(k % r == 0, "k must be divisible by r")
-    val sig = minhashSignature(tokens, k)
+    val sig = minhashSigAgg(docs, idCol, tokens, k)
     val bands = (0 until k / r).map { bi =>
       struct(lit(bi).as("band_idx"),
-        concat_ws("_", (0 until r).map(o => element_at(sig, bi * r + o + 1).cast("string")): _*).as("band_key"))
+        concat_ws("_", (0 until r).map(o => col(s"m${bi * r + o}").cast("string")): _*).as("band_key"))
     }
-    df.withColumn("__band", explode(array(bands: _*)))
-      .withColumn("band_idx", col("__band.band_idx"))
-      .withColumn("band_key", col("__band.band_key"))
-      .drop("__band")
+    sig.select(col(idCol), explode(array(bands: _*)).as("__band"))
+      .select(col(idCol), col("__band.band_idx").as("band_idx"), col("__band.band_key").as("band_key"))
   }
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b), deduped across bands. */
   def lshCandidates(docs: DataFrame, idCol: String, tokens: Column, k: Int = 8, r: Int = 2): DataFrame = {
-    val b = banded(docs.select(col(idCol), tokens.as("__toks")), col("__toks"), k, r)
-      .select(col(idCol), col("band_idx"), col("band_key"))
+    val b = banded(docs, idCol, tokens, k, r)
     val l = b.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
     val rgt = b.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
     l.join(rgt, Seq("band_idx", "band_key"))

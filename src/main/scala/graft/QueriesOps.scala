@@ -27,9 +27,16 @@ object QueriesOps {
       .withColumn("doc_id", col("doc_id") + lit(1000000L)))
   }
 
+  /** Shingling fans the (often single-file) doc read out to all cores first:
+    * the 8-char rolling hash is a higher-order `transform` (interpreted, not
+    * codegen'd), so its cost must parallelize — at cluster scale the input
+    * arrives pre-split, locally a tiny repartition shuffle buys 32× on the
+    * hash work.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id").cast("long").as("sid"),
-      DedupOps.shingleTokens(col("text"), 8).as("stoks"))
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").cast("long").as("sid"),
+        DedupOps.shingleTokens(col("text"), 8).as("stoks"))
 
   val queries: Seq[(String, QFn)] = Seq(
     "d01_exact_dup" -> ((s, dir) =>

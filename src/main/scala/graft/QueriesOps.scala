@@ -118,7 +118,19 @@ object QueriesOps {
     // binary feature extraction (mapPartitions batch path) — rows-only
     "m03_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))
-        .toDF().select("media_id", "media_type", "n_bytes", "checksum"))
+        .toDF().select("media_id", "media_type", "n_bytes", "checksum")),
+
+    "a03_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(emb(s, dir), col("vec_id") < 10, k = 5, nCells = 4)
+        .select(col("q_id"), col("c_id"),
+          round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"), col("cell"))),
+
+    // salting must be semantically transparent: oracle is the PLAIN join —
+    // the salted plan (hot keys split S ways) must produce identical rows
+    "s01_salted_enrich" -> ((s, dir) =>
+      graft.operators.Enrich.salted(Tables.tokens(s, dir), Tables.sourceDim(s, dir),
+          "source", col("doc_id"), salts = 8)
+        .select("doc_id", "source", "vendor", "log_type", "version"))
   )
 
   private val DupCte =
@@ -248,6 +260,28 @@ object QueriesOps {
     "m02_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  cast(floor((greatest(cast(ceil(octet_length(encode(text))*1.0/64) AS int), 1) - 1) / 3) + 1 AS bigint) AS frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "a03_ann_ivf" -> withCtes(EmbCte)({
+      val dots = (0 until 4).map { j =>
+        s"list_sum(list_transform(range(1, len(v)+1), i -> (v)[i] * cast((i*${j + 1}) % 5 - 2 AS double)))"
+      }.mkString(", ")
+      s"""SELECT q_id, c_id, cast(round(cos*1000000) AS bigint) AS cos_e6, rank, cell FROM (
+         |  SELECT q_id, c_id, cos, cell,
+         |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS int) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.cell,
+         |      ${cosSql("q.v", "c.v")} AS cos
+         |    FROM (SELECT *, cast(list_position(dots, list_max(dots)) AS int) AS cell
+         |          FROM (SELECT *, [$dots] AS dots FROM edd) WHERE vec_id < 10) q
+         |    JOIN (SELECT *, cast(list_position(dots, list_max(dots)) AS int) AS cell
+         |          FROM (SELECT *, [$dots] AS dots FROM edd)) c
+         |      ON c.cell = q.cell AND c.vec_id <> q.vec_id))
+         |WHERE rank <= 5""".stripMargin
+    }),
+
+    "s01_salted_enrich" -> withCtes(ToksCte, DimCte)(
+      """SELECT t.doc_id, t.source, d.vendor, d.log_type, d.version
+        |FROM toks t LEFT JOIN dim d USING (source)""".stripMargin)
   )
 }

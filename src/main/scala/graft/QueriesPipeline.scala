@@ -210,6 +210,37 @@ object QueriesPipeline {
         graft.operators.BinaryDecode.ipv4String(col("o.srcaddr")).as("src_ip"),
         col("o.src_port").as("src_port"), col("o.dst_port").as("dst_port"),
         col("o.d_octets").as("d_octets"))
+    }),
+
+    // parenthesized tuple lists "(a,b),(c,d)" → rows, the giganto-import
+    // nested-collection parse (parse_parenthesized_tuples —
+    // /root/reference/src/parser/giganto_import.rs:77-90; used for FTP
+    // commands, DceRpc contexts, Kerberos tickets)
+    "p20_tuple_list" -> ((s, dir) => {
+      val tupRe = "\\(([^,]+),([^)]+)\\)"
+      val did = col("did")
+      val line = concat(lit("(cmd"), did, lit(",arg"), did % 7, lit("),(cmd"),
+        did + 1, lit(",arg"), (did + 1) % 7, lit(")"))
+      Tables.rawEvents2(s, dir).select(col("doc_id"), line.as("tuples"))
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("tuples"), lit(tupRe), lit(0))))
+        .select(col("doc_id"), col("pos").as("idx"),
+          regexp_extract(col("col"), tupRe, 1).as("cmd"),
+          regexp_extract(col("col"), tupRe, 2).as("arg"))
+    }),
+
+    // transfer_skip_count / transfer_count semantics: skip counts records
+    // read, limit counts successful parses (reference: skip
+    // src/collector/zeek.rs:111-113, limit :178-181). Windows partition by
+    // kind — the per-file sequential order the reference operates in; files
+    // parallelize, lines within a file do not.
+    "p21_skip_limit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("kind")).orderBy(col("line_no"))
+      val r = parsed(s, dir).where(col("kind") === "oplog")
+        .withColumn("rn", row_number().over(w)).where(col("rn") > 10)
+      r.where(col("parse_ok"))
+        .withColumn("sn", row_number().over(w)).where(col("sn") <= 25)
+        .select(col("doc_id"), col("line_no"), col("level"))
     })
   )
 
@@ -422,6 +453,21 @@ object QueriesPipeline {
         |    cast(sa % 256 AS varchar) AS src_ip,
         |  cast(1024 + did % 60000 AS bigint) AS src_port, cast(443 AS bigint) AS dst_port,
         |  cast(did % 4294967296 AS bigint) AS d_octets
-        |FROM (SELECT *, (did * 2654435761) % 4294967296 AS sa FROM v2)""".stripMargin)
+        |FROM (SELECT *, (did * 2654435761) % 4294967296 AS sa FROM v2)""".stripMargin),
+
+    "p20_tuple_list" -> withCtes(V2Cte)(
+      """SELECT doc_id, cast(0 AS int) AS idx,
+        |  'cmd' || cast(did AS varchar) AS cmd, 'arg' || cast(did % 7 AS varchar) AS arg FROM v2
+        |UNION ALL
+        |SELECT doc_id, cast(1 AS int) AS idx,
+        |  'cmd' || cast(did + 1 AS varchar) AS cmd, 'arg' || cast((did + 1) % 7 AS varchar) AS arg FROM v2""".stripMargin),
+
+    "p21_skip_limit" -> withCtes(ToksCte, RawCte, ParsedCte)(
+      """SELECT doc_id, line_no, level FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY kind ORDER BY line_no) AS sn FROM (
+        |    SELECT * FROM (
+        |      SELECT *, row_number() OVER (PARTITION BY kind ORDER BY line_no) AS rn
+        |      FROM parsedx WHERE kind = 'oplog') WHERE rn > 10) WHERE parse_ok)
+        |WHERE sn <= 25""".stripMargin)
   )
 }

@@ -52,6 +52,42 @@ object Ann {
     (0 until bits).map(j => when(hyperplaneDot(v, j) >= 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
 
+  /** Deterministic integer centroid j for IVF: component i (1-based) is
+    * (i·(j+1)) mod 5 − 2 ∈ [−2, 2]. Pure arithmetic → identical in SQL.
+    */
+  def centroidDot(v: Column, j: Int): Column =
+    aggregate(
+      zip_with(v, sequence(lit(1), size(v)),
+        (x, i) => x * ((i.cast("long") * (j + 1)) % 5 - 2).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF coarse cell: argmax over nCells centroid dot products (first max,
+    * 1-based — matches SQL list_position(l, list_max(l))).
+    */
+  def ivfCell(v: Column, nCells: Int): Column = {
+    val dots = array((0 until nCells).map(centroidDot(v, _)): _*)
+    array_position(dots, array_max(dots)).cast("int")
+  }
+
+  /** IVF ANN: corpus coarse-quantized into nCells by nearest deterministic
+    * centroid; each query probes only its own cell. The 100 TB shape: cells
+    * are a partition key — candidate scan is |C|/nCells per query and the
+    * cell assignment is one codegen'd pass; recall is tunable via nProbe
+    * (here 1) against the brute-force baseline.
+    */
+  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int, nCells: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", ivfCell(col("v"), nCells))
+    val q = e.where(queryFilter).select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("cell"))
+    val scored = q.join(c, Seq("cell")).where(col("c_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "cos", "rank", "cell")
+  }
+
   /** Bucketed ANN: probe only the query's bucket. Recall < 1 by design —
     * the scale path; the brute-force baseline measures its recall.
     */

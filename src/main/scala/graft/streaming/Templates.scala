@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Template-driven decode with per-key mutable state — the Spark-native
+  * re-expression of the reference's NetFlow v9 TemplatesBox: a cross-packet
+  * dictionary keyed by (exporter, template id) that later data records need
+  * to decode (/root/reference/src/parser/netflow/templates.rs:81-138; lookup
+  * src/parser/netflow.rs:125-137; persisted across runs via
+  * NETFLOW_TEMPLATES_PATH — src/collector/netflow.rs:51-57,95-106).
+  *
+  * This is the one genuinely stateful, order-dependent operator in the
+  * reference (SURVEY.md §1.1), so it gets the one stateful Spark primitive:
+  * `flatMapGroupsWithState` over a key group, state = the latest field-width
+  * template per (exporter, template id). Records are sequenced by `seq`
+  * within a group (the reference relies on packet arrival order; an explicit
+  * sequence number makes replays deterministic).
+  *
+  * A data record arriving before any template is emitted as undecodable
+  * (fields = empty) rather than dropped — mirroring the reference, which
+  * counts and skips datasets with no matching template.
+  */
+object Templates {
+
+  /** One exporter record: a template definition (widths, in hex chars per
+    * field) or a data record (payload = hex string to slice by the current
+    * template).
+    */
+  final case class NfRec(exporter: String, templateId: Int, seq: Long,
+                         isTemplate: Boolean, widths: Seq[Int], payload: String)
+
+  final case class NfDecoded(exporter: String, templateId: Int, seq: Long,
+                             decoded: Boolean, fields: Seq[Long])
+
+  /** State: latest widths per template id for this exporter. */
+  final case class TplState(widths: Map[Int, Seq[Int]])
+
+  private def decodeOne(rec: NfRec, widths: Option[Seq[Int]]): NfDecoded =
+    widths match {
+      case Some(ws) =>
+        var off = 0
+        val fields = ws.map { w =>
+          val v = java.lang.Long.parseLong(rec.payload.substring(off, off + w), 16)
+          off += w
+          v
+        }
+        NfDecoded(rec.exporter, rec.templateId, rec.seq, decoded = true, fields)
+      case None =>
+        NfDecoded(rec.exporter, rec.templateId, rec.seq, decoded = false, Seq.empty)
+    }
+
+  /** Pure per-group fold, shared by the streaming and batch forms: records
+    * sorted by seq; templates update the dictionary, data records decode
+    * with the template in force at their seq.
+    */
+  def foldGroup(recs: Iterator[NfRec], init: TplState): (Seq[NfDecoded], TplState) = {
+    val sorted = recs.toSeq.sortBy(_.seq)
+    var st = init
+    val out = Seq.newBuilder[NfDecoded]
+    sorted.foreach { r =>
+      if (r.isTemplate) st = TplState(st.widths + (r.templateId -> r.widths))
+      else out += decodeOne(r, st.widths.get(r.templateId))
+    }
+    (out.result(), st)
+  }
+
+  /** Streaming form: state persists across micro-batches (and, with a
+    * checkpoint, across restarts — the analog of NETFLOW_TEMPLATES_PATH).
+    */
+  def decodeStream(ds: Dataset[NfRec]): Dataset[NfDecoded] = {
+    implicit val encD = Encoders.product[NfDecoded]
+    implicit val encS = Encoders.product[TplState]
+    implicit val encK = Encoders.STRING
+    ds.groupByKey(_.exporter)
+      .flatMapGroupsWithState[TplState, NfDecoded](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, recs: Iterator[NfRec], state: GroupState[TplState]) =>
+          val init = state.getOption.getOrElse(TplState(Map.empty))
+          val (out, st) = foldGroup(recs, init)
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch form (whole input in one group pass) — the oracle for tests. */
+  def decodeBatch(ds: Dataset[NfRec]): Dataset[NfDecoded] = {
+    implicit val encD = Encoders.product[NfDecoded]
+    implicit val encK = Encoders.STRING
+    ds.groupByKey(_.exporter)
+      .flatMapGroups((_, recs) => foldGroup(recs, TplState(Map.empty))._1.iterator)
+  }
+}

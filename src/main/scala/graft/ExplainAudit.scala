@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the formatted physical plan of selected queries — the
+  * plan-quality feedback loop: verify predicate pushdown reaches the parquet
+  * scan (PushedFilters), column pruning (ReadSchema), broadcast joins where
+  * a side is small, and wide WholeStageCodegen spans.
+  * Usage: runMain graft.ExplainAudit [query ...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("p14_pipeline", "q05_broadcast", "d03_lsh_pairs", "p06_parse_zeek", "e02_top_purchasers")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -241,6 +241,29 @@ object QueriesPipeline {
       r.where(col("parse_ok"))
         .withColumn("sn", row_number().over(w)).where(col("sn") <= 25)
         .select(col("doc_id"), col("line_no"), col("level"))
+    }),
+
+    // the two remaining timestamp families (SURVEY §2.2): giganto
+    // sec.9-digit-nanos (giganto_import.rs:28-47) and RFC3339
+    // (giganto_import.rs:50-57) — both parsed from synthesized strings,
+    // oracle re-derives arithmetically
+    "p22_parse_ts_formats" -> ((s, dir) => {
+      val did = col("did")
+      val sec = lit(1700000000L) + did % 1000L
+      val nanos9 = lpad(((did % 999L) * 1000003L % 1000000000L).cast("string"), 9, "0")
+      val (mo, dy, hh, mi, ss) = (
+        lpad((lit(1) + did % 12).cast("string"), 2, "0"),
+        lpad((lit(10) + did % 19).cast("string"), 2, "0"),
+        lpad((did % 24).cast("string"), 2, "0"),
+        lpad((did % 60).cast("string"), 2, "0"),
+        lpad(((did * 7) % 60).cast("string"), 2, "0"))
+      val base = Tables.rawEvents2(s, dir).select(col("doc_id"), col("did"),
+        concat(sec.cast("string"), lit("."), nanos9).as("giganto_ts"),
+        concat(lit("2023-"), mo, lit("-"), dy, lit("T"), hh, lit(":"), mi, lit(":"), ss, lit("Z")).as("rfc_ts"))
+      val g = split(col("giganto_ts"), "\\.")
+      base.select(col("doc_id"),
+        (element_at(g, 1).cast("long") * lit(1000000000L) + element_at(g, 2).cast("long")).as("ts_giganto_ns"),
+        (unix_micros(to_timestamp(col("rfc_ts"))) * lit(1000L)).as("ts_rfc_ns"))
     })
   )
 
@@ -454,6 +477,12 @@ object QueriesPipeline {
         |  cast(1024 + did % 60000 AS bigint) AS src_port, cast(443 AS bigint) AS dst_port,
         |  cast(did % 4294967296 AS bigint) AS d_octets
         |FROM (SELECT *, (did * 2654435761) % 4294967296 AS sa FROM v2)""".stripMargin),
+
+    "p22_parse_ts_formats" -> withCtes(V2Cte)(
+      """SELECT doc_id,
+        |  (1700000000 + did % 1000)*1000000000 + ((did % 999) * 1000003 % 1000000000) AS ts_giganto_ns,
+        |  epoch_us(make_timestamp(2023, mo, dy, hh, mi, cast(ss AS double)))*1000 AS ts_rfc_ns
+        |FROM v2""".stripMargin),
 
     "p20_tuple_list" -> withCtes(V2Cte)(
       """SELECT doc_id, cast(0 AS int) AS idx,

@@ -42,6 +42,10 @@ object QueriesOps {
     "d01_exact_dup" -> ((s, dir) =>
       DedupOps.exactDuplicates(docsWithDups(s, dir))),
 
+    "d08_exact_keep" -> ((s, dir) =>
+      DedupOps.exactDedup(docsWithDups(s, dir))
+        .select(col("doc_id").as("kept_doc_id"), col("source"), col("lang"))),
+
     "d02_minhash" -> ((s, dir) => {
       val t = Tables.tokens(s, dir)
       t.select(col("doc_id"),
@@ -144,6 +148,11 @@ object QueriesOps {
     "d01_exact_dup" -> withCtes(DupCte)(
       """SELECT md5(text) AS text_hash, count(*) AS dup_cnt, min(doc_id) AS keep_doc_id
         |FROM dd GROUP BY 1 HAVING count(*) > 1""".stripMargin),
+
+    "d08_exact_keep" -> withCtes(DupCte)(
+      """SELECT doc_id AS kept_doc_id, source, lang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM dd) WHERE rn = 1""".stripMargin),
 
     "d02_minhash" -> withCtes(ToksCte)(
       s"""SELECT doc_id, ${mhSql("tokens", 0)} AS m0, ${mhSql("tokens", 1)} AS m1,

@@ -264,6 +264,26 @@ object QueriesPipeline {
       base.select(col("doc_id"),
         (element_at(g, 1).cast("long") * lit(1000000000L) + element_at(g, 2).cast("long")).as("ts_giganto_ns"),
         (unix_micros(to_timestamp(col("rfc_ts"))) * lit(1000L)).as("ts_rfc_ns"))
+    }),
+
+    // DNS-style parse: string-array answers, int-array TTLs, T/F bools,
+    // '-' sentinel → empty arrays (SURVEY §1.2 type-family coverage)
+    "p23_parse_dns" -> ((s, dir) => {
+      val did = col("did")
+      val sec = (lit(1700000000L) + did % 1000L).cast("string")
+      val ans = when(did % 5 === 0, lit("-")).otherwise(
+        concat(lit("10.0.0."), (did % 9).cast("string"), lit(",10.0.1."), (did % 9).cast("string")))
+      val ttl = when(did % 5 === 0, lit("-")).otherwise(
+        concat((did % 300).cast("string"), lit(","), (did % 300 + 60).cast("string")))
+      val aa = when(did % 2 === 0, lit("T")).otherwise(lit("F"))
+      val rd = when(did % 3 === 0, lit("T")).otherwise(lit("F"))
+      val line = concat(sec, lit(" q=host"), (did % 97).cast("string"), lit(".example.com"),
+        lit(" answers="), ans, lit(" ttls="), ttl, lit(" aa="), aa, lit(" rd="), rd)
+      val r = Tables.rawEvents2(s, dir).select(col("doc_id"), col("did"), line.as("raw"))
+        .withColumn("o", graft.operators.ParseVendors.dns(col("raw")))
+      r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+        col("o.query").as("query"), col("o.answers").as("answers"),
+        col("o.ttls").as("ttls"), col("o.aa").as("aa"), col("o.rd").as("rd"))
     })
   )
 
@@ -482,6 +502,17 @@ object QueriesPipeline {
       """SELECT doc_id,
         |  (1700000000 + did % 1000)*1000000000 + ((did % 999) * 1000003 % 1000000000) AS ts_giganto_ns,
         |  epoch_us(make_timestamp(2023, mo, dy, hh, mi, cast(ss AS double)))*1000 AS ts_rfc_ns
+        |FROM v2""".stripMargin),
+
+    "p23_parse_dns" -> withCtes(V2Cte)(
+      """SELECT doc_id,
+        |  (1700000000 + did % 1000)*1000000000 AS ts_ns,
+        |  'host' || cast(did % 97 AS varchar) || '.example.com' AS query,
+        |  CASE WHEN did % 5 = 0 THEN cast([] AS varchar[])
+        |       ELSE ['10.0.0.' || cast(did % 9 AS varchar), '10.0.1.' || cast(did % 9 AS varchar)] END AS answers,
+        |  CASE WHEN did % 5 = 0 THEN cast([] AS int[])
+        |       ELSE [cast(did % 300 AS int), cast(did % 300 + 60 AS int)] END AS ttls,
+        |  did % 2 = 0 AS aa, did % 3 = 0 AS rd
         |FROM v2""".stripMargin),
 
     "p20_tuple_list" -> withCtes(V2Cte)(

@@ -56,6 +56,28 @@ object ParseVendors {
       (regexp_extract(line, UbuntuRe, 1) =!= "").as("ok"))
   }
 
+  val DnsRe = "^(\\d+) q=(\\S+) answers=(\\S*) ttls=(\\S*) aa=([TF]) rd=([TF])$"
+
+  /** Zeek-DNS-style line: comma-split string answers (Vec<String> —
+    * reference network.rs:200-207), comma-split int TTLs (Vec<i32> —
+    * network.rs:297-314), and T/F bool flags (network.rs:253-296).
+    * `-` sentinel → empty arrays, matching the reference's default handling.
+    */
+  def dns(line: Column): Column = {
+    val answers = regexp_extract(line, DnsRe, 3)
+    val ttls = regexp_extract(line, DnsRe, 4)
+    struct(
+      (regexp_extract(line, DnsRe, 1).cast("long") * lit(1000000000L)).as("ts_ns"),
+      regexp_extract(line, DnsRe, 2).as("query"),
+      when(answers === "-" || answers === "", array().cast("array<string>"))
+        .otherwise(split(answers, ",")).as("answers"),
+      when(ttls === "-" || ttls === "", array().cast("array<int>"))
+        .otherwise(transform(split(ttls, ","), _.cast("int"))).as("ttls"),
+      (regexp_extract(line, DnsRe, 5) === "T").as("aa"),
+      (regexp_extract(line, DnsRe, 6) === "T").as("rd"),
+      (regexp_extract(line, DnsRe, 1) =!= "").as("ok"))
+  }
+
   /** sysmon-style tab CSV (positional): UTC ms datetime, hex 0x id via conv,
     * comma-split hash array.
     */

@@ -284,6 +284,49 @@ object QueriesPipeline {
       r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
         col("o.query").as("query"), col("o.answers").as("answers"),
         col("o.ttls").as("ttls"), col("o.aa").as("aa"), col("o.rd").as("rd"))
+    }),
+
+    // schema-driven positional parse (operators/Positional): Conn layout,
+    // '-' duration sentinel → 0, counters cast long
+    "p24_parse_conn" -> ((s, dir) => {
+      val did = col("did")
+      val t = lit("\t")
+      val sec = (lit(1700000000L) + did % 1000L).cast("string")
+      val frac = lpad(((did % 7L) * 125000L).cast("string"), 6, "0")
+      val ip = concat(lit("10."), (did % 250L).cast("string"), lit(".0."), ((did % 200L) + 1L).cast("string"))
+      val dur = when(did % 5 === 0, lit("-")).otherwise(concat((did % 100L).cast("string"), lit(".5")))
+      val line = concat(sec, lit("."), frac, t, ip, t, (lit(1024L) + did % 60000L).cast("string"),
+        t, lit("10.0.0.2"), t, lit("443"), t, lit("tcp"), t, dur,
+        t, (did % 10000L).cast("string"), t, ((did * 3) % 10000L).cast("string"),
+        t, (did % 100L).cast("string"), t, ((did * 7) % 100L).cast("string"))
+      val o = graft.operators.Positional.parser(graft.operators.Positional.Conn)(line)
+      Tables.rawEvents2(s, dir).select(col("doc_id"), col("did"), o.as("o"))
+        .where(col("o.ok"))
+        .select(col("doc_id"), col("o.ts_ns").as("ts_ns"), col("o.src_ip").as("src_ip"),
+          col("o.src_port").as("src_port"), col("o.duration_ns").as("duration_ns"),
+          col("o.orig_bytes").as("orig_bytes"), col("o.resp_bytes").as("resp_bytes"),
+          col("o.orig_pkts").as("orig_pkts"), col("o.resp_pkts").as("resp_pkts"))
+    }),
+
+    // Smtp layout: comma-split recipient array with '-' sentinel → []
+    "p25_parse_smtp" -> ((s, dir) => {
+      val did = col("did")
+      val t = lit("\t")
+      val sec = (lit(1700000000L) + did % 1000L).cast("string")
+      val frac = lpad(((did % 7L) * 125000L).cast("string"), 6, "0")
+      val to = when(did % 4 === 0, lit("-")).otherwise(
+        concat(lit("a"), did.cast("string"), lit("@x,b"), did.cast("string"), lit("@x")))
+      val line = concat(sec, lit("."), frac, t, lit("10.0.0.3"), t, lit("25"), t,
+        lit("10.0.0.4"), t, lit("25"), t, concat(lit("mf"), did.cast("string")), t,
+        lit("-"), t, concat(lit("from"), (did % 50L).cast("string")), t, to, t,
+        concat(lit("subj"), (did % 30L).cast("string")), t, lit("agent1"))
+      val o = graft.operators.Positional.parser(graft.operators.Positional.Smtp)(line)
+      Tables.rawEvents2(s, dir).select(col("doc_id"), col("did"), o.as("o"))
+        .where(col("o.ok"))
+        .select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
+          col("o.mailfrom").as("mailfrom"), col("o.date").as("date_s"),
+          col("o.from").as("from_s"), col("o.to").as("to_arr"),
+          col("o.subject").as("subject"))
     })
   )
 
@@ -502,6 +545,27 @@ object QueriesPipeline {
       """SELECT doc_id,
         |  (1700000000 + did % 1000)*1000000000 + ((did % 999) * 1000003 % 1000000000) AS ts_giganto_ns,
         |  epoch_us(make_timestamp(2023, mo, dy, hh, mi, cast(ss AS double)))*1000 AS ts_rfc_ns
+        |FROM v2""".stripMargin),
+
+    "p24_parse_conn" -> withCtes(V2Cte)(
+      """SELECT doc_id,
+        |  (1700000000 + did % 1000)*1000000000 + ((did % 7) * 125000)*1000 AS ts_ns,
+        |  '10.' || cast(did % 250 AS varchar) || '.0.' || cast((did % 200) + 1 AS varchar) AS src_ip,
+        |  cast(1024 + did % 60000 AS int) AS src_port,
+        |  CASE WHEN did % 5 = 0 THEN 0 ELSE (did % 100)*1000000000 + 500000000 END AS duration_ns,
+        |  did % 10000 AS orig_bytes, (did * 3) % 10000 AS resp_bytes,
+        |  did % 100 AS orig_pkts, (did * 7) % 100 AS resp_pkts
+        |FROM v2""".stripMargin),
+
+    "p25_parse_smtp" -> withCtes(V2Cte)(
+      """SELECT doc_id,
+        |  (1700000000 + did % 1000)*1000000000 + ((did % 7) * 125000)*1000 AS ts_ns,
+        |  'mf' || cast(did AS varchar) AS mailfrom,
+        |  '' AS date_s,
+        |  'from' || cast(did % 50 AS varchar) AS from_s,
+        |  CASE WHEN did % 4 = 0 THEN cast([] AS varchar[])
+        |       ELSE ['a' || cast(did AS varchar) || '@x', 'b' || cast(did AS varchar) || '@x'] END AS to_arr,
+        |  'subj' || cast(did % 30 AS varchar) AS subject
         |FROM v2""".stripMargin),
 
     "p23_parse_dns" -> withCtes(V2Cte)(

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Positional
+import graft.operators.Positional._
+
+/** Schema-driven positional parser: exact field decode per protocol,
+  * '-' sentinel defaults per type, short rows fail closed — the laws every
+  * of the reference's 21 hand-written giganto-import parsers satisfies.
+  */
+class PositionalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(proto: Proto, line: String): Row =
+    Seq(line).toDF("l").select(Positional.parser(proto)($"l").as("o"))
+      .select("o.*").head()
+
+  test("conn: exact decode incl. sec.micros ts and '-' duration sentinel") {
+    val r = parse(Conn, "1700000500.250000\t10.1.1.1\t5555\t10.0.0.2\t443\ttcp\t-\t100\t200\t3\t4")
+    assert(r.getAs[Long]("ts_ns") === 1700000500250000000L)
+    assert(r.getAs[Long]("duration_ns") === 0L)
+    assert(r.getAs[Long]("orig_bytes") === 100L && r.getAs[Long]("resp_pkts") === 4L)
+    assert(r.getAs[Boolean]("ok"))
+  }
+
+  test("ssh: T/F bool and int fields") {
+    val r = parse(Ssh, "1700000500.000000\t10.1.1.1\t22\t10.0.0.2\t22\tOpenSSH_8\tOpenSSH_9\tT\t3\taes256")
+    assert(r.getAs[Boolean]("auth_success"))
+    assert(r.getAs[Int]("auth_attempts") === 3)
+  }
+
+  test("smtp/mqtt: '-' string-array sentinel → empty array; csv splits") {
+    val s = parse(Smtp, "1700000500.000000\t10.0.0.3\t25\t10.0.0.4\t25\tmf\t-\tfrom1\tx@a,y@b\tsub\tagent")
+    assert(s.getAs[Seq[String]]("to") === Seq("x@a", "y@b"))
+    assert(s.getAs[String]("date") === "") // '-' → empty string
+    val m = parse(Mqtt, "1700000500.000000\t10.0.0.3\t1883\t10.0.0.4\t1883\tmqtt\t4\tcli1\t-")
+    assert(m.getAs[Seq[String]]("subscribe") === Seq.empty)
+  }
+
+  test("short rows fail closed for every registry protocol") {
+    Positional.registry.values.foreach { proto =>
+      val r = parse(proto, "1700000500.000000\tonly\ttwo")
+      assert(!r.getAs[Boolean]("ok"), s"${proto.name} must fail closed")
+    }
+  }
+
+  test("registry covers 7 protocols with distinct layouts") {
+    assert(Positional.registry.size === 7)
+    assert(Positional.registry.values.map(_.fields.map(_.name)).toSet.size === 7)
+  }
+}

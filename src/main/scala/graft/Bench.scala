@@ -35,9 +35,9 @@ object Bench {
     // BENCH.md). ~40 s.
     val scaling =
       try {
-        val (thrN, thr4N) = ScalingBench.probe(nSmall = 1, rows = 3000000L)
+        val (thrN, thr4N) = ScalingBench.probe(nSmall = 1, rows = 4000000L)
         val eff = (thr4N / thrN) / 4.0
-        f""","scaling":{"rows":3000000,"n_cores":1,"n_seq_per_sec":${thrN.toLong},"4n_cores":4,"4n_seq_per_sec":${thr4N.toLong},"efficiency":$eff%.3f}"""
+        f""","scaling":{"rows":4000000,"n_cores":1,"n_seq_per_sec":${thrN.toLong},"4n_cores":4,"4n_seq_per_sec":${thr4N.toLong},"efficiency":$eff%.3f}"""
       } catch { case _: Throwable => "" }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")

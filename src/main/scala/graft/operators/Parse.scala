@@ -90,7 +90,11 @@ object Parse {
     * per-kind struct for sink schemas.
     */
   def parsed(df: DataFrame, line: Column = col("raw_line"), kind: Column = col("kind")): DataFrame = {
-    val op = oplog(line); val ng = nginx(line); val fg = fgt(line); val zk = zeek(line)
+    // oplog/nginx use the one-pass RegexpExtractStruct bank (2.0× on the
+    // regex stage, see ParseMicroBench; equality proven in ParseFastSpec);
+    // fgt/zeek are per-key regex / split positional — no single-regex win
+    val op = ParseFast.oplog(line); val ng = ParseFast.nginx(line)
+    val fg = fgt(line); val zk = zeek(line)
     df
       .withColumn("ts_raw_ns",
         when(kind === "oplog", op("ts_ns"))

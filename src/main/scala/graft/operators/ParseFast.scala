@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.RegexpExtractStruct
+
+/** One-regex-pass variants of the grok parsers, built on
+  * [[graft.functions.RegexpExtractStruct]] (custom codegen Expression):
+  * semantically identical to [[Parse]]'s builtin-based versions (asserted in
+  * ParseFastSpec), but each line is matched ONCE instead of once per capture
+  * group — on the oplog format that is 4× fewer regex executions per row.
+  */
+object ParseFast {
+
+  private def nsFromSecFrac(sec: Column, fracMicros: Column): Column =
+    sec.cast("long") * lit(1000000000L) + fracMicros.cast("long") * lit(1000L)
+
+  /** Drop-in for [[Parse.oplog]] — 1 regex pass instead of 4. */
+  def oplog(line: Column): Column = {
+    val m = RegexpExtractStruct.of(line, Parse.OplogRe, 4)
+    struct(
+      nsFromSecFrac(m("g1"), m("g2")).as("ts_ns"),
+      m("g3").as("level"),
+      m("g4").as("contents"),
+      m("matched").as("ok"))
+  }
+
+  /** Drop-in for [[Parse.nginx]] — 1 regex pass instead of 6. */
+  def nginx(line: Column): Column = {
+    val m = RegexpExtractStruct.of(line, Parse.NginxRe, 6)
+    struct(
+      (m("g2").cast("long") * lit(1000000000L)).as("ts_ns"),
+      m("g1").as("src_ip"),
+      m("g3").as("method"),
+      m("g4").as("path"),
+      m("g5").cast("int").as("status"),
+      m("g6").cast("long").as("resp_bytes"),
+      m("matched").as("ok"))
+  }
+}

@@ -134,7 +134,13 @@ object QueriesOps {
     "s01_salted_enrich" -> ((s, dir) =>
       graft.operators.Enrich.salted(Tables.tokens(s, dir), Tables.sourceDim(s, dir),
           "source", col("doc_id"), salts = 8)
-        .select("doc_id", "source", "vendor", "log_type", "version"))
+        .select("doc_id", "source", "vendor", "log_type", "version")),
+
+    // training-sequence packing: doc token streams → fixed 512-token
+    // sequences via distributed prefix-sum (no global window)
+    "k01_pack" -> ((s, dir) =>
+      graft.ops.Packing.pack(
+        Tables.tokens(s, dir).select("doc_id", "tokens", "n_tok"), seqLen = 512))
   )
 
   private val DupCte =
@@ -291,6 +297,21 @@ object QueriesOps {
 
     "s01_salted_enrich" -> withCtes(ToksCte, DimCte)(
       """SELECT t.doc_id, t.source, d.vendor, d.log_type, d.version
-        |FROM toks t LEFT JOIN dim d USING (source)""".stripMargin)
+        |FROM toks t LEFT JOIN dim d USING (source)""".stripMargin),
+
+    "k01_pack" -> withCtes(ToksCte)(
+      """SELECT seq_id, list(utok ORDER BY gpos) AS tokens,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM (
+        |  SELECT doc_id, cast(floor(gpos/512) AS bigint) AS seq_id, gpos, utok FROM (
+        |    SELECT doc_id, tok_offset + upos AS gpos, utok FROM (
+        |      SELECT doc_id, tok_offset, unnest(tokens) AS utok,
+        |        unnest(range(len(tokens))) AS upos
+        |      FROM (
+        |        SELECT doc_id, tokens,
+        |          coalesce(sum(len(tokens)) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |        FROM toks))))
+        |GROUP BY 1 HAVING count(*) = 512""".stripMargin)
   )
 }

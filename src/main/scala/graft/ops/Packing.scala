@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Training-sequence packing: concatenate documents' token streams in doc_id
+  * order and cut fixed-length training sequences of `seqLen` tokens — the
+  * data-prep step between a tokenized corpus and an LLM training run. Docs
+  * straddle sequence boundaries (standard "document packing" — no padding
+  * waste).
+  *
+  * Scale design: the global token offset of each doc is a prefix sum. A
+  * window `sum() over (order by doc_id)` would funnel 10^12 rows through ONE
+  * partition, so it is computed distributed instead:
+  *   1. range-partition + sort by doc_id (global order, parallel),
+  *   2. per-partition token sums → driver (one long per partition),
+  *   3. scan-sum those P values (P ~ thousands: driver-trivial),
+  *   4. broadcast the per-partition base offsets back; each row's global
+  *      offset = partition base + local running sum (one partition-local
+  *      pass, no shuffle).
+  * Then sequence_id = floor(offset / seqLen) and the explode→groupBy cut is
+  * ordinary shuffle-parallel work.
+  */
+object Packing {
+
+  /** (doc_id, tokens, n_tok) → same rows plus a global `tok_offset`. */
+  def withGlobalOffsets(docs: DataFrame, parts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val ordered = docs
+      .repartitionByRange(p, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val schema = StructType(ordered.schema.fields :+ StructField("tok_offset", LongType, nullable = false))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val nTokIdx = ordered.schema.fieldIndex("n_tok")
+
+    // phase 1: per-partition token totals (tiny driver collect: one long each)
+    val sums = ordered.rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        var s = 0L; it.foreach(r => s += r.getInt(nTokIdx)); Iterator((pi, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val bases = sums.scanLeft(0L)(_ + _) // base offset per partition
+    val basesB = spark.sparkContext.broadcast(bases)
+
+    // phase 2: partition-local running sum on top of the broadcast base
+    val withOff = ordered.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var off = basesB.value(pi)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ off)
+        off += r.getInt(nTokIdx)
+        out
+      }
+    }
+    spark.createDataFrame(withOff, schema)
+  }
+
+  /** Pack into sequences of exactly `seqLen` tokens (last partial sequence
+    * dropped, as training pipelines do). Output: (seq_id, tokens, n_docs).
+    */
+  def pack(docs: DataFrame, seqLen: Int, parts: Int = 0): DataFrame = {
+    val withOff = withGlobalOffsets(docs.select("doc_id", "tokens", "n_tok"), parts)
+    val exploded = withOff
+      .select(col("doc_id"), col("tok_offset"), posexplode(col("tokens")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("tok_offset") + col("pos")).as("gpos"), col("tok"))
+    exploded
+      .withColumn("seq_id", floor(col("gpos") / seqLen).cast("long"))
+      .groupBy("seq_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("gpos"), col("tok")))), s => s("tok")).as("tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tok"))
+      .where(col("n_tok") === seqLen) // drop the trailing partial sequence
+      .drop("n_tok")
+  }
+}

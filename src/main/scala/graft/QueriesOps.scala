@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 import graft.ops.{Ann, DedupOps, Multimodal, TextOps}
@@ -140,7 +141,40 @@ object QueriesOps {
     // sequences via distributed prefix-sum (no global window)
     "k01_pack" -> ((s, dir) =>
       graft.ops.Packing.pack(
-        Tables.tokens(s, dir).select("doc_id", "tokens", "n_tok"), seqLen = 512))
+        Tables.tokens(s, dir).select("doc_id", "tokens", "n_tok"), seqLen = 512)),
+
+    // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
+    // (floor(x+0.5) IS the spec — identical in both engines, unlike the
+    // engines' differing round-half modes)
+    "i01_embed_quantize" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val maxAbs = array_max(transform(v, x => abs(x)))
+      val scale = lit(127.0) / maxAbs
+      emb(s, dir).select(col("vec_id"),
+        round(scale * 1e6).cast("long").as("scale_e6"),
+        transform(v, x => floor(x * scale + lit(0.5)).cast("int")).as("q"))
+    }),
+
+    // L2 normalization (sequential-fold norm, oracle-exact doubles)
+    "i02_embed_normalize" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val norm = sqrt(aggregate(zip_with(v, v, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      emb(s, dir).select(col("vec_id"),
+        transform(v, x => round(x / norm * 1e6).cast("long")).as("unit_e6"))
+    }),
+
+    // gap-based sessionization: a >10-minute silence starts a new session
+    "e05_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      ev.withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .withColumn("new_sess", when(col("gap").isNull || col("gap") > 600000000L, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "session_idx")
+    })
   )
 
   private val DupCte =
@@ -298,6 +332,26 @@ object QueriesOps {
     "s01_salted_enrich" -> withCtes(ToksCte, DimCte)(
       """SELECT t.doc_id, t.source, d.vendor, d.log_type, d.version
         |FROM toks t LEFT JOIN dim d USING (source)""".stripMargin),
+
+    "i01_embed_quantize" -> withCtes(EmbCte)(
+      """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,
+        |  list_transform(v, x -> cast(floor(x*(127.0/maxabs)+0.5) AS int)) AS q
+        |FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM edd)""".stripMargin),
+
+    "i02_embed_normalize" -> withCtes(EmbCte)(
+      """SELECT vec_id, list_transform(v, x -> cast(round(x/nrm*1000000) AS bigint)) AS unit_e6
+        |FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM edd)""".stripMargin),
+
+    "e05_sessionize" ->
+      """SELECT event_id, user_id,
+        |  cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_idx
+        |FROM (
+        |  SELECT event_id, user_id, tus,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 600000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events))""".stripMargin,
 
     "k01_pack" -> withCtes(ToksCte)(
       """SELECT seq_id, list(utok ORDER BY gpos) AS tokens,

@@ -116,6 +116,44 @@ object Positional {
     Field("htype", PInt), Field("hops", PInt), Field("ciaddr", PStr),
     Field("yiaddr", PStr), Field("chaddr", PStr)))
 
+  // --- sysmon event-type layouts (giganto_import/sysmon.rs:63-543; the
+  //     reference registers 14 such kinds, each the same positional pattern) ---
+
+  /** ProcessCreate (event 1) — sysmon.rs:63. */
+  val SysmonProcessCreate: Proto = Proto("sysmon_process_create", Seq(
+    Field("ts_ns", PTsSecMicros), Field("agent_name", PStr), Field("agent_id", PStr),
+    Field("process_guid", PStr), Field("process_id", PInt), Field("image", PStr),
+    Field("command_line", PStr), Field("user", PStr), Field("logon_id", PLong),
+    Field("hashes", PStrArr), Field("parent_process_id", PInt), Field("parent_image", PStr)))
+
+  /** NetworkConnect (event 3) — sysmon.rs:~170. */
+  val SysmonNetworkConnect: Proto = Proto("sysmon_network_connect", Seq(
+    Field("ts_ns", PTsSecMicros), Field("agent_name", PStr), Field("agent_id", PStr),
+    Field("process_guid", PStr), Field("process_id", PInt), Field("image", PStr),
+    Field("protocol", PStr), Field("initiated", PBool),
+    Field("src_ip", PStr), Field("src_port", PInt),
+    Field("dst_ip", PStr), Field("dst_port", PInt)))
+
+  /** FileCreate (event 11). */
+  val SysmonFileCreate: Proto = Proto("sysmon_file_create", Seq(
+    Field("ts_ns", PTsSecMicros), Field("agent_name", PStr), Field("agent_id", PStr),
+    Field("process_guid", PStr), Field("process_id", PInt), Field("image", PStr),
+    Field("target_filename", PStr), Field("creation_utc_time_ns", PLong)))
+
+  /** RegistryValueSet (event 13). */
+  val SysmonRegistryValueSet: Proto = Proto("sysmon_registry_value_set", Seq(
+    Field("ts_ns", PTsSecMicros), Field("agent_name", PStr), Field("agent_id", PStr),
+    Field("event_type", PStr), Field("process_guid", PStr), Field("process_id", PInt),
+    Field("image", PStr), Field("target_object", PStr), Field("details", PStr)))
+
+  /** DnsQuery (event 22) — string-array results like the reference's. */
+  val SysmonDnsQuery: Proto = Proto("sysmon_dns_query", Seq(
+    Field("ts_ns", PTsSecMicros), Field("agent_name", PStr), Field("agent_id", PStr),
+    Field("process_guid", PStr), Field("process_id", PInt), Field("query_name", PStr),
+    Field("query_status", PInt), Field("query_results", PStrArr), Field("image", PStr)))
+
   val registry: Map[String, Proto] =
-    Seq(Conn, Http, Smtp, Ssh, Ntlm, Mqtt, Bootp).map(p => p.name -> p).toMap
+    Seq(Conn, Http, Smtp, Ssh, Ntlm, Mqtt, Bootp,
+      SysmonProcessCreate, SysmonNetworkConnect, SysmonFileCreate,
+      SysmonRegistryValueSet, SysmonDnsQuery).map(p => p.name -> p).toMap
 }

@@ -46,8 +46,21 @@ class PositionalSpec extends SparkSpec {
     }
   }
 
-  test("registry covers 7 protocols with distinct layouts") {
-    assert(Positional.registry.size === 7)
-    assert(Positional.registry.values.map(_.fields.map(_.name)).toSet.size === 7)
+  test("registry covers 12 protocols with distinct layouts") {
+    assert(Positional.registry.size === 12)
+    assert(Positional.registry.values.map(_.fields.map(_.name)).toSet.size === 12)
+  }
+
+  test("sysmon layouts: bool initiated, string-array dns results, hashes") {
+    val n = parse(SysmonNetworkConnect,
+      "1700000500.000000\tagent1\tid1\tguid1\t42\tproc.exe\ttcp\tT\t10.1.1.1\t5555\t10.0.0.2\t443")
+    assert(n.getAs[Boolean]("initiated") && n.getAs[Int]("dst_port") === 443)
+    val d = parse(SysmonDnsQuery,
+      "1700000500.000000\tagent1\tid1\tguid1\t42\texample.com\t0\t10.0.0.1,10.0.0.2\tproc.exe")
+    assert(d.getAs[Seq[String]]("query_results") === Seq("10.0.0.1", "10.0.0.2"))
+    val p = parse(SysmonProcessCreate,
+      "1700000500.000000\tagent1\tid1\tguid1\t42\tproc.exe\tcmd /c x\tuser1\t1000\tSHA1=a,MD5=b\t7\tparent.exe")
+    assert(p.getAs[Long]("logon_id") === 1000L)
+    assert(p.getAs[Seq[String]]("hashes") === Seq("SHA1=a", "MD5=b"))
   }
 }

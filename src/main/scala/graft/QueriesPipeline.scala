@@ -286,6 +286,13 @@ object QueriesPipeline {
         col("o.ttls").as("ttls"), col("o.aa").as("aa"), col("o.rd").as("rd"))
     }),
 
+    // variable-length packet decode: one row per record, dynamic byte offsets
+    "p26_netflow_multi" -> ((s, dir) =>
+      graft.operators.BinaryDecode.netflowV5AllRecords(
+        Tables.nfPacketsMulti(s, dir).select("doc_id", "packet"))
+        .select("doc_id", "flow_count", "unix_secs", "rec_idx",
+          "srcaddr", "src_port", "dst_port", "d_octets")),
+
     // schema-driven positional parse (operators/Positional): Conn layout,
     // '-' duration sentinel → 0, counters cast long
     "p24_parse_conn" -> ((s, dir) => {
@@ -578,6 +585,16 @@ object QueriesPipeline {
         |       ELSE [cast(did % 300 AS int), cast(did % 300 + 60 AS int)] END AS ttls,
         |  did % 2 = 0 AS aa, did % 3 = 0 AS rd
         |FROM v2""".stripMargin),
+
+    "p26_netflow_multi" -> withCtes(V2Cte)(
+      """SELECT doc_id, cast(1 + did % 3 AS bigint) AS flow_count,
+        |  cast(1700000000 + did % 1000 AS bigint) AS unix_secs,
+        |  cast(j AS bigint) AS rec_idx,
+        |  (did * 2654435761 + j * 7919) % 4294967296 AS srcaddr,
+        |  cast(1024 + (did + j) % 60000 AS bigint) AS src_port,
+        |  cast(443 AS bigint) AS dst_port,
+        |  (did + j) % 4294967296 AS d_octets
+        |FROM (SELECT *, unnest(range(1 + did % 3)) AS j FROM v2)""".stripMargin),
 
     "p20_tuple_list" -> withCtes(V2Cte)(
       """SELECT doc_id, cast(0 AS int) AS idx,

@@ -32,6 +32,38 @@ object BinaryDecode {
     beUint(packet, 21, 4).as("d_octets"),
     (beUint(packet, 1, 2) === 5L && length(packet) >= 24).as("ok"))
 
+  /** Big-endian unsigned int at a DYNAMIC 1-based byte offset (Column) —
+    * needed once records repeat within a packet.
+    */
+  def beUintAt(bin: Column, pos: Column, len: Int): Column =
+    conv(hex(substring(bin, pos, lit(len))), 16, 10).cast("long")
+
+  /** Decode ALL records of a v5-style packet: header (12 bytes: version u16,
+    * count u16, uptime u32, unix_secs u32) followed by `count` 12-byte
+    * records (srcaddr u32, srcport u16, dstport u16, d_octets u32). One row
+    * per record via explode over the header count — the Spark form of the
+    * reference's per-packet record loop
+    * (/root/reference/src/parser/netflow/packet.rs:402-463). Input columns:
+    * (doc_id, packet). Output adds rec_idx and per-record fields.
+    */
+  def netflowV5AllRecords(packets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cnt = beUint(col("packet"), 3, 2)
+    val base = packets
+      .withColumn("version", beUint(col("packet"), 1, 2))
+      .withColumn("flow_count", cnt)
+      .withColumn("sys_uptime", beUint(col("packet"), 5, 4))
+      .withColumn("unix_secs", beUint(col("packet"), 9, 4))
+      .where(col("version") === 5L && length(col("packet")) >= lit(12) + col("flow_count") * 12)
+      .withColumn("rec_idx", explode(sequence(lit(0L), col("flow_count") - 1)))
+    val off = (lit(13L) + col("rec_idx") * 12L).cast("int")
+    base
+      .withColumn("srcaddr", beUintAt(col("packet"), off, 4))
+      .withColumn("src_port", beUintAt(col("packet"), off + 4, 2))
+      .withColumn("dst_port", beUintAt(col("packet"), off + 6, 2))
+      .withColumn("d_octets", beUintAt(col("packet"), off + 8, 4))
+      .drop("packet")
+  }
+
   /** Dotted-quad string from a u32 address (reference renders IpAddr —
     * src/parser/netflow/fields.rs).
     */

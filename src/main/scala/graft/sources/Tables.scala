@@ -209,6 +209,29 @@ object Tables {
       unhex(pkt).as("packet"))
   }
 
+  /** Multi-record NetFlow packets: count = 1 + did%3 records per packet
+    * (variable-length payload, the shape the reference's record loop
+    * decodes — packet.rs:402-463).
+    */
+  def nfPacketsMulti(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
+    val cnt = lit(1L) + did % 3L
+    def rec(j: Int): Column = when(lit(j) < cnt, concat(
+      hexN((did * 2654435761L + j * 7919L) % 4294967296L, 8),
+      hexN(lit(1024L) + (did + j) % 60000L, 4),
+      hexN(lit(443L), 4),
+      hexN((did + j) % 4294967296L, 8))).otherwise(lit(""))
+    val pkt = concat(
+      hexN(lit(5L), 4), hexN(cnt, 4),
+      hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
+      rec(0), rec(1), rec(2))
+    documents(spark, dir).select(
+      concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
+      did.as("did"),
+      unhex(pkt).as("packet"))
+  }
+
   /** Broadcast-side source dimension (analog of SecurityLogInfo —
     * /root/reference/src/parser/security_log.rs:54-87): one row per source,
     * derived deterministically so the oracle can rebuild it.

@@ -138,21 +138,27 @@ object QueriesOps {
         .select("doc_id", "source", "vendor", "log_type", "version")),
 
     // training-sequence packing: doc token streams → fixed 512-token
-    // sequences via distributed prefix-sum (no global window)
+    // sequences via distributed prefix-sum (no global window). The packed
+    // array is emitted as md5(csv) — gate-sortable and order-sensitive.
     "k01_pack" -> ((s, dir) =>
       graft.ops.Packing.pack(
-        Tables.tokens(s, dir).select("doc_id", "tokens", "n_tok"), seqLen = 512)),
+        Tables.tokens(s, dir).select("doc_id", "tokens", "n_tok"), seqLen = 512)
+        .select(col("seq_id"), md5(concat_ws(",", col("tokens"))).as("tok_md5"),
+          col("n_docs"))),
 
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
-    // engines' differing round-half modes)
+    // engines' differing round-half modes). The quantized vector is emitted
+    // as a csv string: the driver's gate sorts result columns in pandas and
+    // raw arrays are unhashable there, so every driver query must project
+    // arrays through a deterministic scalar encoding.
     "i01_embed_quantize" -> ((s, dir) => {
       val v = transform(col("embedding"), x => x.cast("double"))
       val maxAbs = array_max(transform(v, x => abs(x)))
       val scale = lit(127.0) / maxAbs
       emb(s, dir).select(col("vec_id"),
         round(scale * 1e6).cast("long").as("scale_e6"),
-        transform(v, x => floor(x * scale + lit(0.5)).cast("int")).as("q"))
+        concat_ws(",", transform(v, x => floor(x * scale + lit(0.5)).cast("int"))).as("q_csv"))
     }),
 
     // L2 normalization (sequential-fold norm, oracle-exact doubles)
@@ -160,7 +166,7 @@ object QueriesOps {
       val v = transform(col("embedding"), x => x.cast("double"))
       val norm = sqrt(aggregate(zip_with(v, v, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
       emb(s, dir).select(col("vec_id"),
-        transform(v, x => round(x / norm * 1e6).cast("long")).as("unit_e6"))
+        concat_ws(",", transform(v, x => round(x / norm * 1e6).cast("long"))).as("unit_e6_csv"))
     }),
 
     // gap-based sessionization: a >10-minute silence starts a new session
@@ -335,11 +341,11 @@ object QueriesOps {
 
     "i01_embed_quantize" -> withCtes(EmbCte)(
       """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,
-        |  list_transform(v, x -> cast(floor(x*(127.0/maxabs)+0.5) AS int)) AS q
+        |  array_to_string(list_transform(v, x -> cast(cast(floor(x*(127.0/maxabs)+0.5) AS int) AS varchar)), ',') AS q_csv
         |FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM edd)""".stripMargin),
 
     "i02_embed_normalize" -> withCtes(EmbCte)(
-      """SELECT vec_id, list_transform(v, x -> cast(round(x/nrm*1000000) AS bigint)) AS unit_e6
+      """SELECT vec_id, array_to_string(list_transform(v, x -> cast(cast(round(x/nrm*1000000) AS bigint) AS varchar)), ',') AS unit_e6_csv
         |FROM (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM edd)""".stripMargin),
 
     "e05_sessionize" ->
@@ -354,7 +360,8 @@ object QueriesOps {
         |  FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events))""".stripMargin,
 
     "k01_pack" -> withCtes(ToksCte)(
-      """SELECT seq_id, list(utok ORDER BY gpos) AS tokens,
+      """SELECT seq_id,
+        |  md5(array_to_string(list_transform(list(utok ORDER BY gpos), t -> cast(t AS varchar)), ',')) AS tok_md5,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM (
         |  SELECT doc_id, cast(floor(gpos/512) AS bigint) AS seq_id, gpos, utok FROM (

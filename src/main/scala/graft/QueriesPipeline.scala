@@ -29,8 +29,11 @@ object QueriesPipeline {
         graft.ops.TextOps.positionalFingerprint(col("tokens")).as("tok_fp"),
         col("source"))),
 
+    // token array emitted csv-encoded: the driver gate's pandas sort cannot
+    // hash raw arrays; the csv is order-sensitive so equality is as strong
     "p02_tokens_full" -> ((s, dir) =>
-      toks(s, dir).select("doc_id", "tokens", "n_tok", "source")),
+      toks(s, dir).select(col("doc_id"),
+        concat_ws(",", col("tokens")).as("tokens_csv"), col("n_tok"), col("source"))),
 
     "p03_parse_oplog" -> ((s, dir) => {
       val r = raws(s, dir).where(col("kind") === "oplog")
@@ -126,8 +129,12 @@ object QueriesPipeline {
         .groupBy("user_id").agg(
           round(sum(col("value")) * 100).cast("long").as("spend_cents"),
           count(lit(1)).as("records"))
+      // orderBy+limit compiles to TakeOrderedAndProject: each task computes a
+      // partial top-5, the driver merges — no single-task global sort. The
+      // unpartitioned rank window then runs over only the 5 survivors.
+      val top = agg.orderBy(col("spend_cents").desc, col("user_id")).limit(5)
       val w = Window.orderBy(col("spend_cents").desc, col("user_id"))
-      agg.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+      top.withColumn("rnk", row_number().over(w))
     }),
 
     "e03_json_extract" -> ((s, dir) =>
@@ -198,7 +205,7 @@ object QueriesPipeline {
       r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
         col("o.provider").as("provider"), col("o.event_code").as("event_code"),
         col("o.image").as("image"), col("o.logon_id").as("logon_id"),
-        col("o.hashes").as("hashes"))
+        concat_ws(",", col("o.hashes")).as("hashes_csv"))
     }),
 
     "p19_netflow_decode" -> ((s, dir) => {
@@ -282,8 +289,10 @@ object QueriesPipeline {
       val r = Tables.rawEvents2(s, dir).select(col("doc_id"), col("did"), line.as("raw"))
         .withColumn("o", graft.operators.ParseVendors.dns(col("raw")))
       r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
-        col("o.query").as("query"), col("o.answers").as("answers"),
-        col("o.ttls").as("ttls"), col("o.aa").as("aa"), col("o.rd").as("rd"))
+        col("o.query").as("query"),
+        concat_ws(",", col("o.answers")).as("answers_csv"),
+        concat_ws(",", col("o.ttls")).as("ttls_csv"),
+        col("o.aa").as("aa"), col("o.rd").as("rd"))
     }),
 
     // variable-length packet decode: one row per record, dynamic byte offsets
@@ -332,7 +341,8 @@ object QueriesPipeline {
         .where(col("o.ok"))
         .select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
           col("o.mailfrom").as("mailfrom"), col("o.date").as("date_s"),
-          col("o.from").as("from_s"), col("o.to").as("to_arr"),
+          col("o.from").as("from_s"),
+          concat_ws(",", col("o.to")).as("to_csv"),
           col("o.subject").as("subject"))
     })
   )
@@ -345,7 +355,9 @@ object QueriesPipeline {
         |  source FROM toks""".stripMargin),
 
     "p02_tokens_full" -> withCtes(ToksCte)(
-      "SELECT doc_id, tokens, cast(len(tokens) AS int) AS n_tok, source FROM toks"),
+      """SELECT doc_id,
+        |  array_to_string(list_transform(tokens, t -> cast(t AS varchar)), ',') AS tokens_csv,
+        |  cast(len(tokens) AS int) AS n_tok, source FROM toks""".stripMargin),
 
     "p03_parse_oplog" -> withCtes(ToksCte, RawCte)(
       s"""SELECT doc_id,
@@ -531,7 +543,7 @@ object QueriesPipeline {
          |  'Microsoft-Windows-Sysmon' AS provider, cast(1 AS int) AS event_code,
          |  'proc' || cast(did % 40 AS varchar) || '.exe' AS image,
          |  $fold AS logon_id,
-         |  ['SHA1=s' || cast(did AS varchar), 'MD5=m' || cast(did AS varchar)] AS hashes
+         |  'SHA1=s' || cast(did AS varchar) || ',MD5=m' || cast(did AS varchar) AS hashes_csv
          |FROM (SELECT *, lpad(cast(did % 100000 AS varchar), 5, '0') AS hx FROM v2)
          |WHERE did % 3 = 2""".stripMargin
     }),
@@ -570,8 +582,8 @@ object QueriesPipeline {
         |  'mf' || cast(did AS varchar) AS mailfrom,
         |  '' AS date_s,
         |  'from' || cast(did % 50 AS varchar) AS from_s,
-        |  CASE WHEN did % 4 = 0 THEN cast([] AS varchar[])
-        |       ELSE ['a' || cast(did AS varchar) || '@x', 'b' || cast(did AS varchar) || '@x'] END AS to_arr,
+        |  CASE WHEN did % 4 = 0 THEN ''
+        |       ELSE 'a' || cast(did AS varchar) || '@x,b' || cast(did AS varchar) || '@x' END AS to_csv,
         |  'subj' || cast(did % 30 AS varchar) AS subject
         |FROM v2""".stripMargin),
 
@@ -579,10 +591,10 @@ object QueriesPipeline {
       """SELECT doc_id,
         |  (1700000000 + did % 1000)*1000000000 AS ts_ns,
         |  'host' || cast(did % 97 AS varchar) || '.example.com' AS query,
-        |  CASE WHEN did % 5 = 0 THEN cast([] AS varchar[])
-        |       ELSE ['10.0.0.' || cast(did % 9 AS varchar), '10.0.1.' || cast(did % 9 AS varchar)] END AS answers,
-        |  CASE WHEN did % 5 = 0 THEN cast([] AS int[])
-        |       ELSE [cast(did % 300 AS int), cast(did % 300 + 60 AS int)] END AS ttls,
+        |  CASE WHEN did % 5 = 0 THEN ''
+        |       ELSE '10.0.0.' || cast(did % 9 AS varchar) || ',10.0.1.' || cast(did % 9 AS varchar) END AS answers_csv,
+        |  CASE WHEN did % 5 = 0 THEN ''
+        |       ELSE cast(did % 300 AS varchar) || ',' || cast(did % 300 + 60 AS varchar) END AS ttls_csv,
         |  did % 2 = 0 AS aa, did % 3 = 0 AS rd
         |FROM v2""".stripMargin),
 

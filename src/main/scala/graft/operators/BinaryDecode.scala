@@ -54,7 +54,11 @@ object BinaryDecode {
       .withColumn("sys_uptime", beUint(col("packet"), 5, 4))
       .withColumn("unix_secs", beUint(col("packet"), 9, 4))
       .where(col("version") === 5L && length(col("packet")) >= lit(12) + col("flow_count") * 12)
-      .withColumn("rec_idx", explode(sequence(lit(0L), col("flow_count") - 1)))
+      // header-only packets (count=0) must yield ZERO record rows — the
+      // reference's record loop runs zero iterations. An unguarded
+      // sequence(0, count-1) would default step to -1 and fabricate [0, -1].
+      .withColumn("rec_idx", explode(when(col("flow_count") > 0,
+        sequence(lit(0L), col("flow_count") - 1)).otherwise(array().cast("array<bigint>"))))
     val off = (lit(13L) + col("rec_idx") * 12L).cast("int")
     base
       .withColumn("srcaddr", beUintAt(col("packet"), off, 4))

@@ -40,9 +40,14 @@ object Positional {
     case PLong => when(raw === "-", lit(0L)).otherwise(raw.cast("long"))
     case PBool => raw === "T"
     case PTsSecMicros =>
+      // fraction may be any width (Zeek/giganto timestamps carry variable
+      // digits); scale by digit count — '1700000000.5' is 500,000,000 ns,
+      // not 5,000
       val p = split(raw, "\\.")
+      val frac = element_at(p, 2)
       element_at(p, 1).cast("long") * lit(1000000000L) +
-        element_at(p, 2).cast("long") * lit(1000L)
+        coalesce(frac.cast("long") *
+          pow(lit(10.0), lit(9) - length(frac)).cast("long"), lit(0L))
     case PDurSecs =>
       when(raw === "-", lit(0L)).otherwise(round(raw.cast("double") * lit(1e9)).cast("long"))
     case PStrArr =>

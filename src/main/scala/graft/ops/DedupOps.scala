@@ -62,13 +62,18 @@ object DedupOps {
     * (doc, token) rather than per-doc arrays.
     */
   def minhashSigAgg(docs: DataFrame, idCol: String, tokens: Column, k: Int): DataFrame = {
+    // explode drops empty-token docs; the left join from the doc set puts
+    // them back with NULL m0..m{k-1} (the same row DuckDB's list_min gives
+    // for an empty list), so every input doc appears in the output —
+    // downstream banding must skip NULL signatures explicitly
+    val ids = docs.select(col(idCol))
     val e = docs.select(col(idCol), explode(array_distinct(tokens)).as("__t"))
     val aggs = (0 until k).map { j =>
       val a = (2654435761L * (j + 1)) % P
       val b = (1013904223L * (j + 1)) % P
       min((lit(a) * col("__t").cast("long") + lit(b)) % lit(P)).as(s"m$j")
     }
-    e.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    ids.join(e.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*), Seq(idCol), "left")
   }
 
   /** LSH band rows: (id, band_idx, band_key) from the aggregate signature;
@@ -81,7 +86,9 @@ object DedupOps {
       struct(lit(bi).as("band_idx"),
         concat_ws("_", (0 until r).map(o => col(s"m${bi * r + o}").cast("string")): _*).as("band_key"))
     }
-    sig.select(col(idCol), explode(array(bands: _*)).as("__band"))
+    // NULL signature = empty-token doc: no band rows (cannot near-dup match)
+    sig.where(col("m0").isNotNull)
+      .select(col(idCol), explode(array(bands: _*)).as("__band"))
       .select(col(idCol), col("__band.band_idx").as("band_idx"), col("__band.band_key").as("band_key"))
   }
 
@@ -102,10 +109,15 @@ object DedupOps {
   def jaccard(docs: DataFrame, idCol: String, tokens: Column, pairs: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("__id"), explode(array_distinct(tokens)).as("tok"))
     val sizes = toks.groupBy("__id").agg(count(lit(1)).as("sz"))
+    // the second join carries (doc, token) in its key EXPLICITLY: keying on
+    // doc_b alone and filtering tok equality afterwards would rely on
+    // Catalyst pushing the predicate into the join — if that ever failed,
+    // each candidate pair would materialize |A|×|B| rows before filtering
+    val toksB = toks.select(col("__id").as("__doc_b"), col("tok").as("tok_b"))
     val inter = pairs
       .join(toks.withColumnRenamed("__id", "doc_a").withColumnRenamed("tok", "tok_a"), "doc_a")
-      .join(toks.withColumnRenamed("__id", "doc_b").withColumnRenamed("tok", "tok_b"), "doc_b")
-      .where(col("tok_a") === col("tok_b"))
+      .join(toksB, col("doc_b") === col("__doc_b") && col("tok_a") === col("tok_b"))
+      .drop("__doc_b")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -164,12 +176,19 @@ object DedupOps {
   def embeddingNearDup(emb: DataFrame, window: Int, minCos: Double): DataFrame = {
     val asD = transform(col("embedding"), x => x.cast("double"))
     val e = emb.select(col("vec_id"), col("label"), asD.as("v"))
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
+    // blocking key = (label, id-block): side A explodes to blocks
+    // {⌊a/w⌋, ⌊a/w⌋+1} so any b with 0 < b−a ≤ w lands in exactly one
+    // matching block (⌊b/w⌋ is one of the two). A label-only equi-join
+    // would go quadratic on a hot label; this keeps candidates linear in
+    // window size regardless of label skew — same rows, tighter key.
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"),
+        explode(array(floor(col("vec_id") / window), floor(col("vec_id") / window) + 1)).as("blk"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"),
+        floor(col("vec_id") / window).as("blk"))
     val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(zip_with(col("va"), col("va"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(zip_with(col("vb"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "blk"))
       .where(col("id_b") > col("id_a") && col("id_b") - col("id_a") <= window)
       .withColumn("cos", round(dot / (na * nb), 6))
       .where(col("cos") >= minCos)

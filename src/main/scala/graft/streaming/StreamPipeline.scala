@@ -81,7 +81,9 @@ object StreamPipeline {
                      windowDur: String = "60 seconds",
                      watermark: String = "30 seconds"): DataFrame =
     parsed
-      .withColumn("event_ts", timestamp_micros((col("ts_raw_ns") / 1000L).cast("long")))
+      // integer division: epoch-ns values exceed double's 2^53 exact range,
+      // so `/ 1000` (double division) could drift the micros by ±1
+      .withColumn("event_ts", timestamp_micros(expr("ts_raw_ns div 1000")))
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), windowDur), col("kind"))
       .agg(count(lit(1)).as("records"), sum(col("bytes")).as("sum_bytes"))

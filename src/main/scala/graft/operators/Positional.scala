@@ -21,11 +21,18 @@ object Positional {
   case object PStr extends FType
   case object PInt extends FType
   case object PLong extends FType
-  case object PBool extends FType            // T/F flags
-  case object PTsSecMicros extends FType     // sec.micros → ns
+  case object PBool extends FType            // T/F flags (zeek style)
+  case object PTsSecMicros extends FType     // sec.frac → ns, any frac width
   case object PDurSecs extends FType         // float seconds → rounded ns
   case object PStrArr extends FType          // comma-split strings
   case object PIntArr extends FType          // comma-split ints
+  case object PTsRfc3339 extends FType       // RFC3339 → ns (giganto_import.rs:50-57)
+  case object PIp extends FType              // IP literal, kept as canonical string
+  case object PBoolWord extends FType        // true/false words (sysmon.rs parse_bool)
+  case object PQclass extends FType          // C_INTERNET→1 else 0 (network.rs qclass)
+  case object PQtype extends FType           // DNS qtype name → u16 (network.rs:2895)
+  case object PTuples extends FType          // "(a,b,..),(c,d,..)" tuple-list blob
+                                             // (giganto_import.rs:77-90)
 
   final case class Field(name: String, t: FType)
 
@@ -55,7 +62,25 @@ object Positional {
     case PIntArr =>
       when(raw === "-" || raw === "", array().cast("array<int>"))
         .otherwise(transform(split(raw, ","), _.cast("int")))
+    case PTsRfc3339 =>
+      unix_micros(to_timestamp(raw)) * lit(1000L)
+    case PIp => raw
+    case PBoolWord => raw === "true"
+    case PQclass => when(raw === "C_INTERNET", lit(1)).otherwise(lit(0))
+    case PQtype =>
+      QtypeCodes.foldLeft(lit(0)) { case (acc, (name, code)) =>
+        when(raw === name, lit(code)).otherwise(acc)
+      }.cast("int")
+    case PTuples => when(raw === "-", lit("")).otherwise(raw)
   }
+
+  /** DNS qtype name → code, the common subset of the reference's table
+    * (network.rs:2895-2960); unknown names decode to 0 like the reference's
+    * fall-through arm.
+    */
+  val QtypeCodes: Seq[(String, Int)] = Seq(
+    "A" -> 1, "NS" -> 2, "CNAME" -> 5, "SOA" -> 6, "PTR" -> 12,
+    "MX" -> 15, "TXT" -> 16, "AAAA" -> 28, "SRV" -> 33)
 
   /** Generate the parse expression for a protocol: struct of typed fields
     * plus `ok` (width check — short rows fail closed, reference
@@ -161,4 +186,273 @@ object Positional {
     Seq(Conn, Http, Smtp, Ssh, Ntlm, Mqtt, Bootp,
       SysmonProcessCreate, SysmonNetworkConnect, SysmonFileCreate,
       SysmonRegistryValueSet, SysmonDnsQuery).map(p => p.name -> p).toMap
+
+  // =========================================================================
+  // Faithful layout families: field lists mirror the reference's per-protocol
+  // record indices exactly (0-based TSV positions; index 1 is the sensor
+  // column every impl skips). Citations: giganto —
+  // /root/reference/src/parser/giganto_import/network.rs (line per protocol
+  // below); sysmon — giganto_import/sysmon.rs:63-543; zeek —
+  // /root/reference/src/parser/zeek/network.rs:21-1219.
+  // =========================================================================
+
+  private def F(name: String, t: FType) = Field(name, t)
+
+  /** Giganto indices 0-6 shared by every network protocol except Icmp. */
+  private val gHead: Seq[Field] = Seq(
+    F("ts_ns", PTsSecMicros), F("sensor", PStr),
+    F("orig_addr", PIp), F("orig_port", PInt),
+    F("resp_addr", PIp), F("resp_port", PInt), F("proto", PInt))
+
+  /** Giganto indices 7-12 (start_time .. resp_l2_bytes), all but Conn. */
+  private val gFlow: Seq[Field] = Seq(
+    F("start_time", PTsRfc3339), F("duration", PLong),
+    F("orig_pkts", PLong), F("resp_pkts", PLong),
+    F("orig_l2_bytes", PLong), F("resp_l2_bytes", PLong))
+
+  /** 20 giganto-export network protocols (network.rs construction sites:
+    * Conn:23 Dns:144 MalformedDns:350 Http:495 Rdp:716 Smtp:819 Ntlm:955
+    * Kerberos:1082 Ssh:1237 DceRpc:1409 Ftp:1536 Mqtt:1718 Ldap:1851
+    * Tls:2003 Smb:2224 Nfs:2385 Bootp:2498 Dhcp:2659 Radius:2966 Icmp:3133).
+    */
+  val giganto: Seq[Proto] = Seq(
+    Proto("g_conn", gHead ++ Seq(
+      F("conn_state", PStr), F("start_time", PTsRfc3339), F("duration", PLong),
+      F("service", PStr), F("orig_bytes", PLong), F("resp_bytes", PLong),
+      F("orig_pkts", PLong), F("resp_pkts", PLong),
+      F("orig_l2_bytes", PLong), F("resp_l2_bytes", PLong))),
+    Proto("g_dns", gHead ++ gFlow ++ Seq(
+      F("query", PStr), F("answer", PStrArr), F("trans_id", PInt), F("rtt", PLong),
+      F("qclass", PQclass), F("qtype", PQtype), F("rcode", PInt),
+      F("aa_flag", PBoolWord), F("tc_flag", PBoolWord),
+      F("rd_flag", PBoolWord), F("ra_flag", PBoolWord))),
+    Proto("g_malformed_dns", gHead ++ gFlow ++ Seq(
+      F("trans_id", PInt), F("flags", PInt), F("question_count", PInt),
+      F("answer_count", PInt), F("authority_count", PInt), F("additional_count", PInt),
+      F("query_count", PLong), F("resp_count", PLong),
+      F("query_bytes", PLong), F("resp_bytes", PLong),
+      F("query_body", PStr), F("resp_body", PStr))),
+    Proto("g_http", gHead ++ gFlow ++ Seq(
+      F("method", PStr), F("host", PStr), F("uri", PStr), F("referer", PStr),
+      F("version", PStr), F("user_agent", PStr), F("request_len", PLong),
+      F("response_len", PLong), F("status_code", PInt), F("status_msg", PStr),
+      F("username", PStr), F("password_s", PStr), F("cookie", PStr),
+      F("content_encoding", PStr), F("content_type", PStr), F("cache_control", PStr),
+      F("filenames", PStrArr), F("mime_types", PStrArr), F("body", PStr),
+      F("state", PStr))),
+    Proto("g_rdp", gHead ++ gFlow ++ Seq(F("cookie", PStr))),
+    Proto("g_smtp", gHead ++ gFlow ++ Seq(
+      F("mailfrom", PStr), F("date_s", PStr), F("from_s", PStr), F("to_s", PStrArr),
+      F("subject", PStr), F("agent", PStr), F("state", PStr))),
+    Proto("g_ntlm", gHead ++ gFlow ++ Seq(
+      F("protocol", PStr), F("username", PStr), F("hostname", PStr),
+      F("domainname", PStr), F("success", PStr))),
+    Proto("g_kerberos", gHead ++ gFlow ++ Seq(
+      F("client_time", PTsRfc3339), F("server_time", PTsRfc3339),
+      F("error_code", PLong), F("client_realm", PStr), F("cname_type", PInt),
+      F("cname", PStrArr), F("realm", PStr), F("sname_type", PInt),
+      F("sname", PStrArr))),
+    Proto("g_ssh", gHead ++ gFlow ++ Seq(
+      F("client", PStr), F("server", PStr), F("cipher_alg", PStr),
+      F("mac_alg", PStr), F("compression_alg", PStr), F("kex_alg", PStr),
+      F("host_key_alg", PStr), F("hassh_algorithms", PStr), F("hassh", PStr),
+      F("hassh_server_algorithms", PStr), F("hassh_server", PStr),
+      F("client_shka", PStr), F("server_shka", PStr))),
+    Proto("g_dcerpc", gHead ++ gFlow ++ Seq(
+      F("context", PStrArr), F("request", PStr))),
+    Proto("g_ftp", gHead ++ gFlow ++ Seq(
+      F("user_s", PStr), F("password_s", PStr), F("commands", PTuples))),
+    Proto("g_mqtt", gHead ++ gFlow ++ Seq(
+      F("protocol", PStr), F("version", PInt), F("client_id", PStr),
+      F("connack_reason", PInt), F("subscribe", PStrArr),
+      F("suback_reason", PIntArr))),
+    Proto("g_ldap", gHead ++ gFlow ++ Seq(
+      F("message_id", PLong), F("version", PInt), F("opcode", PStrArr),
+      F("result", PStrArr), F("diagnostic_message", PStrArr),
+      F("object_s", PStrArr), F("argument", PStrArr))),
+    Proto("g_tls", gHead ++ gFlow ++ Seq(
+      F("server_name", PStr), F("alpn_protocol", PStr), F("ja3", PStr),
+      F("version", PStr), F("client_cipher_suites", PIntArr),
+      F("client_extensions", PIntArr), F("cipher", PInt), F("extensions", PIntArr),
+      F("ja3s", PStr), F("serial", PStr), F("subject_country", PStr),
+      F("subject_org_name", PStr), F("subject_common_name", PStr),
+      F("validity_not_before", PTsRfc3339), F("validity_not_after", PTsRfc3339),
+      F("subject_alt_name", PStr), F("issuer_country", PStr),
+      F("issuer_org_name", PStr), F("issuer_org_unit_name", PStr),
+      F("issuer_common_name", PStr), F("last_alert", PInt))),
+    Proto("g_smb", gHead ++ gFlow ++ Seq(
+      F("command", PInt), F("path", PStr), F("service", PStr),
+      F("file_name", PStr), F("file_size", PLong), F("resource_type", PInt),
+      F("fid", PInt), F("create_time", PLong), F("access_time", PLong),
+      F("write_time", PLong), F("change_time", PLong))),
+    Proto("g_nfs", gHead ++ gFlow ++ Seq(
+      F("read_files", PStrArr), F("write_files", PStrArr))),
+    Proto("g_bootp", gHead ++ gFlow ++ Seq(
+      F("op", PInt), F("htype", PInt), F("hops", PInt), F("xid", PLong),
+      F("ciaddr", PIp), F("yiaddr", PIp), F("siaddr", PIp), F("giaddr", PIp),
+      F("chaddr", PIntArr), F("sname", PStr), F("file_s", PStr))),
+    Proto("g_dhcp", gHead ++ gFlow ++ Seq(
+      F("msg_type", PInt), F("ciaddr", PIp), F("yiaddr", PIp), F("siaddr", PIp),
+      F("giaddr", PIp), F("subnet_mask", PIp), F("router", PStrArr),
+      F("domain_name_server", PStrArr), F("req_ip_addr", PIp),
+      F("lease_time", PLong), F("server_id", PIp), F("param_req_list", PIntArr),
+      F("message", PStr), F("renewal_time", PLong), F("rebinding_time", PLong),
+      F("class_id", PIntArr), F("client_id_type", PInt), F("client_id", PIntArr))),
+    Proto("g_radius", gHead ++ gFlow ++ Seq(
+      F("id", PInt), F("code", PInt), F("resp_code", PInt), F("auth", PStr),
+      F("resp_auth", PStr), F("user_name", PStrArr), F("user_passwd", PStrArr),
+      F("chap_passwd", PStrArr), F("nas_ip", PIp), F("nas_port", PLong),
+      F("state", PStrArr), F("nas_id", PStrArr), F("nas_port_type", PLong),
+      F("message", PStr))),
+    Proto("g_icmp", Seq(
+      F("ts_ns", PTsSecMicros), F("sensor", PStr),
+      F("orig_addr", PIp), F("resp_addr", PIp), F("proto", PInt),
+      F("start_time", PTsRfc3339), F("duration", PLong),
+      F("orig_pkts", PLong), F("resp_pkts", PLong),
+      F("orig_l2_bytes", PLong), F("resp_l2_bytes", PLong),
+      F("icmp_type", PInt), F("icmp_code", PInt), F("id", PInt),
+      F("seq_num", PInt), F("data_len", PInt))))
+
+  /** Sysmon common prefix (giganto_import/sysmon.rs record_timestamp at 0,
+    * agent_name/agent_id at 2/3).
+    */
+  private val yHead: Seq[Field] = Seq(
+    F("ts_ns", PTsSecMicros), F("sensor", PStr),
+    F("agent_name", PStr), F("agent_id", PStr))
+
+  /** All 14 sysmon event types (giganto_import/sysmon.rs:63-543). */
+  val sysmon14: Seq[Proto] = Seq(
+    Proto("y_process_create", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("file_version", PStr), F("description", PStr), F("product", PStr),
+      F("company", PStr), F("original_file_name", PStr), F("command_line", PStr),
+      F("current_directory", PStr), F("user_s", PStr), F("logon_guid", PStr),
+      F("logon_id", PLong), F("terminal_session_id", PLong),
+      F("integrity_level", PStr), F("hashes", PStrArr),
+      F("parent_process_guid", PStr), F("parent_process_id", PLong),
+      F("parent_image", PStr), F("parent_command_line", PStr),
+      F("parent_user", PStr))),
+    Proto("y_file_create_time", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("target_filename", PStr), F("creation_utc_time", PTsRfc3339),
+      F("previous_creation_utc_time", PTsRfc3339), F("user_s", PStr))),
+    Proto("y_network_connect", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("user_s", PStr), F("protocol", PStr), F("initiated", PBoolWord),
+      F("source_is_ipv6", PBoolWord), F("source_ip", PIp),
+      F("source_hostname", PStr), F("source_port", PInt),
+      F("source_port_name", PStr), F("destination_is_ipv6", PBoolWord),
+      F("destination_ip", PIp), F("destination_hostname", PStr),
+      F("destination_port", PInt), F("destination_port_name", PStr))),
+    Proto("y_process_terminate", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("user_s", PStr))),
+    Proto("y_image_load", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("image_loaded", PStr), F("file_version", PStr), F("description", PStr),
+      F("product", PStr), F("company", PStr), F("original_file_name", PStr),
+      F("hashes", PStrArr), F("signed", PBoolWord), F("signature", PStr),
+      F("signature_status", PStr), F("user_s", PStr))),
+    Proto("y_file_create", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("target_filename", PStr), F("creation_utc_time", PTsRfc3339),
+      F("user_s", PStr))),
+    Proto("y_registry_value_set", yHead ++ Seq(
+      F("event_type", PStr), F("process_guid", PStr), F("process_id", PLong),
+      F("image", PStr), F("target_object", PStr), F("details", PStr),
+      F("user_s", PStr))),
+    Proto("y_registry_key_rename", yHead ++ Seq(
+      F("event_type", PStr), F("process_guid", PStr), F("process_id", PLong),
+      F("image", PStr), F("target_object", PStr), F("new_name", PStr),
+      F("user_s", PStr))),
+    Proto("y_file_create_stream_hash", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("target_filename", PStr), F("creation_utc_time", PTsRfc3339),
+      F("hash", PStrArr), F("contents", PStr), F("user_s", PStr))),
+    Proto("y_pipe_event", yHead ++ Seq(
+      F("event_type", PStr), F("process_guid", PStr), F("process_id", PLong),
+      F("pipe_name", PStr), F("image", PStr), F("user_s", PStr))),
+    Proto("y_dns_query", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("query_name", PStr),
+      F("query_status", PLong), F("query_results", PStrArr), F("image", PStr),
+      F("user_s", PStr))),
+    Proto("y_file_delete", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("user_s", PStr),
+      F("image", PStr), F("target_filename", PStr), F("hashes", PStrArr),
+      F("is_executable", PBoolWord), F("archived", PBoolWord))),
+    Proto("y_process_tamper", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("tamper_type", PStr), F("user_s", PStr))),
+    Proto("y_file_delete_detected", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("user_s", PStr),
+      F("image", PStr), F("target_filename", PStr), F("hashes", PStrArr),
+      F("is_executable", PBoolWord))))
+
+  /** Zeek common prefix (zeek/network.rs: ts at 0, uid at 1, 4-tuple 2-5). */
+  private val zHead: Seq[Field] = Seq(
+    F("ts_ns", PTsSecMicros), F("uid", PStr),
+    F("orig_addr", PIp), F("orig_port", PInt),
+    F("resp_addr", PIp), F("resp_port", PInt))
+
+  /** 12 Zeek TSV protocols (zeek/network.rs construction sites:
+    * Conn:21 Http:147 Rdp:347 Smtp:533 Dns:592 Ntlm:667 Kerberos:723
+    * Ssh:811 DceRpc:909 Ftp:970 Ldap:1094 Tls:1219).
+    */
+  val zeekP: Seq[Proto] = Seq(
+    Proto("z_conn", zHead ++ Seq(
+      F("proto", PStr), F("service", PStr), F("duration_ns", PDurSecs),
+      F("orig_bytes", PLong), F("resp_bytes", PLong), F("conn_state", PStr),
+      F("local_orig", PBool), F("local_resp", PBool), F("missed_bytes", PLong),
+      F("history", PStr), F("orig_pkts", PLong), F("orig_ip_bytes", PLong),
+      F("resp_pkts", PLong))),
+    Proto("z_dns", zHead ++ Seq(
+      F("proto", PStr), F("trans_id", PInt), F("rtt_ns", PDurSecs),
+      F("query", PStr), F("qclass", PInt), F("qclass_name", PStr),
+      F("qtype", PInt), F("qtype_name", PStr), F("rcode", PInt),
+      F("rcode_name", PStr), F("aa", PBool), F("tc", PBool), F("rd", PBool),
+      F("ra", PBool), F("z", PInt), F("answer", PStrArr), F("ttl", PIntArr))),
+    Proto("z_http", zHead ++ Seq(
+      F("trans_depth", PInt), F("method", PStr), F("host", PStr), F("uri", PStr),
+      F("referer", PStr), F("version", PStr), F("user_agent", PStr),
+      F("origin", PStr), F("request_len", PLong), F("response_len", PLong),
+      F("status_code", PInt), F("status_msg", PStr), F("info_code", PInt),
+      F("info_msg", PStr), F("tags", PStr), F("username", PStr),
+      F("password_s", PStr), F("proxied", PStr), F("orig_fuids", PStr),
+      F("orig_filenames", PStrArr), F("orig_mime_types", PStrArr),
+      F("resp_fuids", PStr), F("resp_filenames", PStrArr),
+      F("resp_mime_types", PStrArr))),
+    Proto("z_rdp", zHead ++ Seq(F("cookie", PStr))),
+    Proto("z_smtp", zHead ++ Seq(
+      F("trans_depth", PInt), F("helo", PStr), F("mailfrom", PStr),
+      F("rcptto", PStrArr), F("date_s", PStr), F("from_s", PStr),
+      F("to_s", PStrArr), F("cc", PStr), F("reply_to", PStr), F("msg_id", PStr),
+      F("in_reply_to", PStr), F("subject", PStr), F("x_originating_ip", PStr),
+      F("first_received", PStr), F("second_received", PStr),
+      F("last_reply", PStr), F("path", PStr), F("agent", PStr))),
+    Proto("z_ntlm", zHead ++ Seq(
+      F("username", PStr), F("hostname", PStr), F("domainname", PStr),
+      F("server_nb", PStr), F("server_dns", PStr), F("server_tree", PStr),
+      F("success", PBool))),
+    Proto("z_kerberos", zHead),
+    Proto("z_ssh", zHead ++ Seq(
+      F("version", PInt), F("auth_success", PBool), F("auth_attempts", PInt),
+      F("direction", PStr), F("client", PStr), F("server", PStr),
+      F("cipher_alg", PStr), F("mac_alg", PStr), F("compression_alg", PStr),
+      F("kex_alg", PStr), F("host_key_alg", PStr))),
+    Proto("z_dcerpc", zHead ++ Seq(
+      F("rtt_ns", PDurSecs), F("named_pipe", PStr), F("endpoint", PStr),
+      F("operation", PStr))),
+    Proto("z_ftp", zHead ++ Seq(
+      F("user_s", PStr), F("password_s", PStr), F("command", PStr),
+      F("reply_code", PInt), F("reply_msg", PStr), F("data_passive", PBool),
+      F("data_orig_addr", PIp), F("data_resp_addr", PIp),
+      F("data_resp_port", PInt))),
+    Proto("z_ldap", zHead ++ Seq(
+      F("proto", PStr), F("message_id", PInt), F("version", PInt),
+      F("opcode", PStrArr), F("result", PStrArr),
+      F("diagnostic_message", PStrArr), F("object_s", PStrArr),
+      F("argument", PStrArr))),
+    Proto("z_tls", zHead ++ Seq(
+      F("version", PStr), F("cipher", PStr), F("curve", PStr),
+      F("server_name", PStr), F("resumed", PBool), F("last_alert", PStr))))
 }

@@ -51,6 +51,38 @@ class PositionalSpec extends SparkSpec {
     assert(Positional.registry.values.map(_.fields.map(_.name)).toSet.size === 12)
   }
 
+  test("faithful families: 20 giganto + 14 sysmon + 12 zeek, unique field names") {
+    assert(Positional.giganto.size === 20)
+    assert(Positional.sysmon14.size === 14)
+    assert(Positional.zeekP.size === 12)
+    (Positional.giganto ++ Positional.sysmon14 ++ Positional.zeekP).foreach { p =>
+      val names = p.fields.map(_.name)
+      assert(names.distinct.size === names.size, s"${p.name} has duplicate field names")
+    }
+  }
+
+  test("variable-width sec.frac: digit-scaled, not fixed-micros") {
+    val p = Proto("t", Seq(Field("ts_ns", PTsSecMicros)))
+    assert(parse(p, "1700000000.5").getAs[Long]("ts_ns") === 1700000000500000000L)
+    assert(parse(p, "1700000000.123456789").getAs[Long]("ts_ns") === 1700000000123456789L)
+    assert(parse(p, "1700000000.000001").getAs[Long]("ts_ns") === 1700000000000001000L)
+  }
+
+  test("new field types: rfc3339 ns, qclass/qtype mapping, word bools, tuples") {
+    val p = Proto("t2", Seq(
+      Field("st", PTsRfc3339), Field("qc", PQclass), Field("qt", PQtype),
+      Field("b", PBoolWord), Field("cmds", PTuples)))
+    val r = parse(p, "2023-01-10T00:00:00Z\tC_INTERNET\tAAAA\ttrue\t(a,b),(c,d)")
+    assert(r.getAs[Long]("st") === 1673308800000000000L)
+    assert(r.getAs[Int]("qc") === 1 && r.getAs[Int]("qt") === 28)
+    assert(r.getAs[Boolean]("b"))
+    assert(r.getAs[String]("cmds") === "(a,b),(c,d)")
+    val s = parse(p, "2023-01-10T00:00:00Z\tC_CHAOS\tBOGUS\tfalse\t-")
+    assert(s.getAs[Int]("qc") === 0 && s.getAs[Int]("qt") === 0)
+    assert(!s.getAs[Boolean]("b"))
+    assert(s.getAs[String]("cmds") === "") // '-' sentinel → empty blob
+  }
+
   test("sysmon layouts: bool initiated, string-array dns results, hashes") {
     val n = parse(SysmonNetworkConnect,
       "1700000500.000000\tagent1\tid1\tguid1\t42\tproc.exe\ttcp\tT\t10.1.1.1\t5555\t10.0.0.2\t443")

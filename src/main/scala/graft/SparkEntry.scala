@@ -23,11 +23,13 @@ object SparkEntry {
     queries("p14_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (QueriesPipeline.queries ++ QueriesOps.queries ++ QueriesProto.queries)
+    (QueriesPipeline.queries ++ QueriesOps.queries ++ QueriesProto.queries ++
+      QueriesVendors.queries)
       .map { case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(prep(s), dir))
       }.toMap
 
   def oracleSql: Map[String, String] =
-    QueriesPipeline.oracles ++ QueriesOps.oracles ++ QueriesProto.oracles
+    QueriesPipeline.oracles ++ QueriesOps.oracles ++ QueriesProto.oracles ++
+      QueriesVendors.oracles
 }

@@ -78,6 +78,105 @@ object ParseVendors {
       (regexp_extract(line, DnsRe, 1) =!= "").as("ok"))
   }
 
+  // =========================================================================
+  // The 9 remaining security-log vendors (reference
+  // /root/reference/src/parser/security_log/{mf2,sniper_ips,aiwaf,tg,vforce,
+  // srx,sonic_wall,shadow_wall,axgate}.rs) — each is one regex + a strptime
+  // variant. All SecuLog timestamps get the per-line serial added
+  // (collector/security_log.rs:105-109). Expressed as a table: a vendor is a
+  // (regex, capture-group map, timestamp builder) row; the parse bank is
+  // generated — same codegen'd regexp_extract expressions for every vendor.
+  // =========================================================================
+
+  /** One vendor = regex + group indices (0 ⇒ constant "tcp", the reference's
+    * PROTO_TCP default) + naive-datetime → UTC-ns builder.
+    */
+  final case class SecuVendor(name: String, re: String, tsNs: Column => Column,
+                              gDt: Int = 1, gSip: Int = 2, gSport: Int = 3,
+                              gDip: Int = 4, gDport: Int = 5, gProto: Int = 6)
+
+  private def plus0900(fmt: String)(t: Column): Column =
+    nsOf(to_utc_timestamp(to_timestamp(t, fmt), "+09:00"))
+
+  /** srx carries its own +09:00 offset and milliseconds in the text
+    * (srx.rs:23 `%Y-%m-%dT%H:%M:%S%.f%:z`).
+    */
+  private def isoOffset(t: Column): Column =
+    nsOf(to_timestamp(t, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+
+  /** shadowwall is 10-digit epoch seconds (shadow_wall.rs:16,64). */
+  private def epochSec(t: Column): Column = t.cast("long") * lit(1000000000L)
+
+  /** vforce injects the current year (vforce.rs:23-26) — pinned for
+    * determinism, like ubuntu.
+    */
+  private def yearInject0900(fmt: String, year: Int)(t: Column): Column =
+    plus0900(s"yyyy $fmt")(concat(lit(s"$year "), t))
+
+  val vendors: Seq[SecuVendor] = Seq(
+    // mf2.rs:14-27: "](Y-m-d H:M:S),..,ip,port,ip,port,proto," +0900
+    SecuVendor("mf2",
+      "\\](\\d{4}-\\d{1,2}-\\d{1,2} \\d{2}:\\d{2}:\\d{2}),.*?,(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}),(\\d+),(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}),(\\d+),(\\w+),",
+      plus0900("yyyy-MM-dd HH:mm:ss")),
+    // sniper_ips.rs:14-27: bracketed [Time=Y/m/d H:M:S] [Hacker] [Victim]
+    // [Protocol=w/dport] .. [SrcPort=n] +0900
+    SecuVendor("sniper",
+      "\\[Time=(\\d{4}/\\d{1,2}/\\d{1,2} \\d{2}:\\d{2}:\\d{2})\\], \\[Hacker=(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\], \\[Victim=(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\], \\[Protocol=(\\w+)/(\\d+)\\],.*\\[SrcPort=(\\d+)\\]",
+      plus0900("yyyy/MM/dd HH:mm:ss"),
+      gDt = 1, gSip = 2, gDip = 3, gProto = 4, gDport = 5, gSport = 6),
+    // aiwaf.rs:12-25: pipe-separated, proto constant TCP, +0900
+    SecuVendor("aiwaf",
+      "(\\d{4}-\\d{1,2}-\\d{1,2} \\d{2}:\\d{2}:\\d{2})\\|.*?\\|(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\|(\\d+)\\|(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\|(\\d+)",
+      plus0900("yyyy-MM-dd HH:mm:ss"), gProto = 0),
+    // tg.rs:12-26: backtick-separated, datetime "Ymd`H:M:S" +0900
+    SecuVendor("tg",
+      "`(\\d{8}`\\d{2}:\\d{2}:\\d{2})`.*?`(\\d+)`(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})`(\\d+)`(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})`(\\d+)`",
+      plus0900("yyyyMMdd'`'HH:mm:ss"),
+      gDt = 1, gProto = 2, gSip = 3, gSport = 4, gDip = 5, gDport = 6),
+    // vforce.rs:12-28: ">MMM d H:M:S .. Src: Dst: Proto: Spt_c: Dpt_t:",
+    // current-year injection +0900
+    SecuVendor("vforce",
+      ">(\\w{3} \\d{1,2} \\d{2}:\\d{2}:\\d{2}).*?Src:(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}), Dst:(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}), Proto:(\\d+), Spt_c:(\\d+), Dpt_t:(\\d+),",
+      yearInject0900("MMM dd HH:mm:ss", 2025),
+      gDt = 1, gSip = 2, gDip = 3, gProto = 4, gSport = 5, gDport = 6),
+    // srx.rs:12-24: RFC3339 with millis and explicit +09:00 offset
+    SecuVendor("srx",
+      "(\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}.\\d{3}\\+\\d{2}:\\d{2}).*?source-address=\"(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\" source-port=\"(\\d+)\" destination-address=\"(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\" destination-port=\"(\\d+)\" protocol-name=\"(\\w+)\"",
+      isoOffset),
+    // sonic_wall.rs:12-26: time="Y-m-d H:M:S .. src=ip:port: dst=ip:port
+    // proto=w/ +0900
+    SecuVendor("sonicwall",
+      "time=\"(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}) .*?src=(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}):(\\d+):.*? dst=(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}):(\\d+).*?proto=(\\w+)/",
+      plus0900("yyyy-MM-dd HH:mm:ss")),
+    // shadow_wall.rs:11-16,64: 10-digit epoch seconds, tab-separated tuple
+    SecuVendor("shadowwall",
+      "(\\d{10}).*?(\\d+)\\t(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\t(\\d+)\\t(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\t(\\d+)",
+      epochSec,
+      gDt = 1, gProto = 2, gSip = 3, gSport = 4, gDip = 5, gDport = 6),
+    // axgate.rs:12-25: key:value tokens, numeric proto, +0900
+    SecuVendor("axgate",
+      "time:(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}).*?src:(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}).*?dst:(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}).*?sport:(\\d+).*?dport:(\\d+).*?proto:(\\d+)",
+      plus0900("yyyy-MM-dd HH:mm:ss"),
+      gDt = 1, gSip = 2, gDip = 3, gSport = 4, gDport = 5, gProto = 6))
+
+  val vendorByName: Map[String, SecuVendor] = vendors.map(v => v.name -> v).toMap
+
+  /** Generated SecuLog parse bank for a vendor: same struct shape as the
+    * reference's SecuLog (orig/resp addr+port, proto, ts+serial).
+    */
+  def secuLog(v: SecuVendor)(line: Column, serial: Column): Column = {
+    val dt = regexp_extract(line, v.re, v.gDt)
+    val proto = if (v.gProto == 0) lit("tcp") else regexp_extract(line, v.re, v.gProto)
+    struct(
+      (v.tsNs(dt) + serial).as("ts_ns"),
+      regexp_extract(line, v.re, v.gSip).as("src_ip"),
+      regexp_extract(line, v.re, v.gSport).cast("int").as("src_port"),
+      regexp_extract(line, v.re, v.gDip).as("dst_ip"),
+      regexp_extract(line, v.re, v.gDport).cast("int").as("dst_port"),
+      proto.as("proto_s"),
+      (dt =!= "").as("ok"))
+  }
+
   /** sysmon-style tab CSV (positional): UTC ms datetime, hex 0x id via conv,
     * comma-split hash array.
     */

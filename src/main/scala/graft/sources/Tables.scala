@@ -172,6 +172,71 @@ object Tables {
         lit("SHA1=s"), did.cast("string"), lit(",MD5=m"), did.cast("string")))
   }
 
+  // --- third raw-line family: the 9 remaining security vendors ---
+
+  /** Family-3 vendor for a doc: did % 9 →
+    * mf2, sniper, aiwaf, tg, vforce, srx, sonicwall, shadowwall, axgate.
+    */
+  val Vendor3Names: Seq[String] = Seq("mf2", "sniper", "aiwaf", "tg",
+    "vforce", "srx", "sonicwall", "shadowwall", "axgate")
+
+  def kind3Name(did: Column): Column =
+    element_at(array(Vendor3Names.map(lit): _*), (did % 9).cast("int") + lit(1))
+
+  /** Vendor-format log line (family 3), one format per reference vendor
+    * regex (security_log/{mf2,sniper_ips,aiwaf,tg,vforce,srx,sonic_wall,
+    * shadow_wall,axgate}.rs). Address/port values are shared arithmetic so
+    * the oracle re-derives them from did without re-parsing.
+    */
+  def rawLine3(did: Column): Column = {
+    val (mo, dy, hh, mi, ss) = dtParts(did)
+    val dtDash = concat(lit("2023-"), mo, lit("-"), dy, lit(" "), hh, lit(":"), mi, lit(":"), ss)
+    val dtSlash = concat(lit("2023/"), mo, lit("/"), dy, lit(" "), hh, lit(":"), mi, lit(":"), ss)
+    val dtCompact = concat(lit("2023"), mo, dy, lit("`"), hh, lit(":"), mi, lit(":"), ss)
+    val monName = element_at(array(MonthNames.map(lit): _*), (did % 12).cast("int") + lit(1))
+    val dtSyslog = concat(monName, lit(" "), dy, lit(" "), hh, lit(":"), mi, lit(":"), ss)
+    val dtIso = concat(lit("2023-"), mo, lit("-"), dy, lit("T"), hh, lit(":"), mi, lit(":"), ss,
+      lit("."), lpad((did % 1000).cast("string"), 3, "0"), lit("+09:00"))
+    val epoch10 = (lit(1700000000L) + did % 1000L).cast("string")
+    val sip = concat(lit("10.2."), (did % 250L).cast("string"), lit("."), (did % 200L + 1L).cast("string"))
+    val dip = concat(lit("10.3."), ((did * 3) % 250L).cast("string"), lit("."), (did % 200L + 1L).cast("string"))
+    val sport = (lit(1024L) + did % 60000L).cast("string")
+    val dport = (lit(1L) + did % 50000L).cast("string")
+    val junk = concat(lit("j"), (did % 5).cast("string"))
+    val k = did % 9
+    when(k === 0, concat(lit("[evt]"), dtDash, lit(","), junk, lit(","), sip, lit(","),
+        sport, lit(","), dip, lit(","), dport, lit(",tcp,detail")))
+      .when(k === 1, concat(lit("[Time="), dtSlash, lit("], [Hacker="), sip,
+        lit("], [Victim="), dip, lit("], [Protocol=tcp/"), dport, lit("], ["), junk,
+        lit("], [SrcPort="), sport, lit("]")))
+      .when(k === 2, concat(dtDash, lit("|"), junk, lit("|"), sip, lit("|"), sport,
+        lit("|"), dip, lit("|"), dport))
+      .when(k === 3, concat(lit("`"), dtCompact, lit("`"), junk, lit("`6`"), sip,
+        lit("`"), sport, lit("`"), dip, lit("`"), dport, lit("`")))
+      .when(k === 4, concat(lit(">"), dtSyslog, lit(" "), junk, lit(" Src:"), sip,
+        lit(", Dst:"), dip, lit(", Proto:6, Spt_c:"), sport, lit(", Dpt_t:"), dport, lit(",")))
+      .when(k === 5, concat(dtIso, lit(" "), junk, lit(" source-address=\""), sip,
+        lit("\" source-port=\""), sport, lit("\" destination-address=\""), dip,
+        lit("\" destination-port=\""), dport, lit("\" protocol-name=\"tcp\"")))
+      .when(k === 6, concat(lit("time=\""), dtDash, lit(" UTC\" "), junk, lit(" src="), sip,
+        lit(":"), sport, lit(":X0 dst="), dip, lit(":"), dport, lit(" proto=tcp/")))
+      .when(k === 7, concat(epoch10, lit("\t"), junk, lit("\t6\t"), sip, lit("\t"),
+        sport, lit("\t"), dip, lit("\t"), dport))
+      .otherwise(concat(lit("time:"), dtDash, lit(" "), junk, lit(" src:"), sip,
+        lit(" dst:"), dip, lit(" sport:"), sport, lit(" dport:"), dport, lit(" proto:6")))
+  }
+
+  /** Family-3 raw events: (doc_id, did, line_no, raw_line, kind). */
+  def rawEvents3(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    d.select(
+      concat(lit("doc-"), lpad(col("doc_id").cast("string"), 12, "0")).as("doc_id"),
+      col("doc_id").as("did"),
+      col("doc_id").as("line_no"),
+      rawLine3(col("doc_id")).as("raw_line"),
+      kind3Name(col("doc_id")).as("kind"))
+  }
+
   /** Family-2 raw events: (doc_id, did, line_no, source, raw_line, kind). */
   def rawEvents2(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir)

@@ -80,4 +80,39 @@ class VendorParseSpec extends SparkSpec {
       .as[(Boolean, Boolean, Boolean)].collect()
     assert(oks.forall(t => !t._1 && !t._2 && !t._3))
   }
+
+  private def secu(name: String, line: String, serial: Long = 1L) =
+    Seq(line).toDF("l")
+      .select(ParseVendors.secuLog(ParseVendors.vendorByName(name))($"l", lit(serial)).as("o"))
+      .select("o.ts_ns", "o.src_ip", "o.src_port", "o.dst_ip", "o.dst_port", "o.proto_s", "o.ok")
+      .as[(Long, String, Int, String, Int, String, Boolean)].head()
+
+  test("vendor family: srx in-text offset+millis, shadowwall epoch, tg backtick dt") {
+    // srx: 2023-01-10T09:00:00.250+09:00 == 2023-01-10T00:00:00.250Z
+    val s = secu("srx", "2023-01-10T09:00:00.250+09:00 x source-address=\"10.2.0.1\" " +
+      "source-port=\"1024\" destination-address=\"10.3.0.1\" destination-port=\"80\" protocol-name=\"tcp\"")
+    assert(s._1 === 1673308800000000000L + 250000000L + 1L)
+    assert(s._2 === "10.2.0.1" && s._3 === 1024 && s._5 === 80 && s._7)
+    // shadowwall: 10-digit epoch seconds → ns (+serial)
+    val w = secu("shadowwall", "1700000000 x\t6\t10.2.0.1\t1024\t10.3.0.1\t443", serial = 5L)
+    assert(w._1 === 1700000000000000005L && w._6 === "6")
+    // tg: yyyyMMdd`HH:mm:ss naive KST → 2023-01-10 00:00:00Z
+    val t = secu("tg", "`20230110`09:00:00`j1`6`10.2.0.1`1024`10.3.0.1`443`")
+    assert(t._1 === 1673308800000000001L && t._4 === "10.3.0.1")
+  }
+
+  test("vendor family: vforce pinned-year injection, aiwaf PROTO_TCP default") {
+    // vforce: "Jan 10 09:00:00" +0900 with year 2025 → 2025-01-10T00:00:00Z
+    val v = secu("vforce", ">Jan 10 09:00:00 x Src:10.2.0.1, Dst:10.3.0.1, Proto:6, Spt_c:1024, Dpt_t:443,")
+    assert(v._1 === 1736467200000000001L && v._6 === "6")
+    val a = secu("aiwaf", "2023-01-10 09:00:00|x|10.2.0.1|1024|10.3.0.1|443")
+    assert(a._1 === 1673308800000000001L && a._6 === "tcp")
+    // garbage fails closed for every vendor in the table (ok=false; other
+    // fields may be NULL, which the pipeline filters on ok before reading)
+    ParseVendors.vendors.foreach { vd =>
+      val ok = Seq("garbage").toDF("l")
+        .select(ParseVendors.secuLog(vd)($"l", lit(1L))("ok")).as[Boolean].head()
+      assert(!ok, s"${vd.name} must fail closed")
+    }
+  }
 }

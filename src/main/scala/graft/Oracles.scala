@@ -157,4 +157,38 @@ object Oracles {
 
   def withCtes(ctes: String*)(body: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + body
+
+  /** Twin of Ann.sketches(kProj=32): exact int64 microunit projections
+    * (floor(x·1e6 + 0.5) — the cross-engine-stable rounding), one column per
+    * projection row.
+    */
+  val SkCte: String = {
+    val cols = (0 until 32).map { t =>
+      "list_sum(list_transform(range(1, len(v)+1), i -> " +
+        s"cast(floor((v)[i]*1000000 + 0.5) AS bigint) * ${graft.ops.Ann.projWeightSql(t, "i")})) AS s$t"
+    }.mkString(",\n    ")
+    s"sk AS (\n  SELECT vec_id,\n    $cols\n  FROM edd)"
+  }
+
+  /** Twin of Ann.sketchCos: left-associated double chains over the 32
+    * sketch columns of aliases `q` and `c`.
+    */
+  def skCosSql(q: String, c: String): String = {
+    def chain(f: Int => String) = (0 until 32).map(f).mkString(" + ")
+    val d = chain(t => s"cast($q.s$t AS double)*$c.s$t")
+    val nq = chain(t => s"cast($q.s$t AS double)*$q.s$t")
+    val nc = chain(t => s"cast($c.s$t AS double)*$c.s$t")
+    s"($d) / (sqrt($nq) * sqrt($nc))"
+  }
+
+  /** Exact-cosine rerank tail over a `cand(q_id, c_id)` CTE — twin of
+    * Ann.rerankExact(k=5).
+    */
+  val RerankSql: String =
+    s"""SELECT q_id, c_id, cast(round(cos*1000000) AS bigint) AS cos_e6, rank FROM (
+       |  SELECT q_id, c_id, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS int) AS rank
+       |  FROM (SELECT q_id, c_id, ${cosSql("a.v", "b.v")} AS cos
+       |        FROM cand JOIN edd a ON a.vec_id = q_id JOIN edd b ON b.vec_id = c_id))
+       |WHERE rank <= 5""".stripMargin
 }

@@ -6,11 +6,34 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Baseline: brute-force cosine top-k (query set × corpus — the query set is
-  * broadcast, so the corpus is scanned once with no shuffle). Scale path:
-  * random-hyperplane LSH buckets (deterministic integer hyperplanes, exact
-  * SQL twin) — the corpus is bucketed once, queries probe only their own
-  * bucket, turning top-k from O(|Q|·|C|) into O(|Q|·|C|/2^bits).
+  * Baseline: brute-force cosine top-k (query set broadcast, corpus scanned
+  * once). Scale paths, all built on one shared primitive — deterministic
+  * integer projection sketches:
+  *
+  *  - [[sketchRerankTopK]] — compressed-scan + exact rerank: rank the whole
+  *    corpus by 32-d sketch cosine (8× less data than the 64-d f32 vectors,
+  *    whole-stage-codegen'd integer arithmetic), keep the top fraction,
+  *    re-score only those with exact cosine. Candidate fraction is an exact
+  *    knob (default 1/5); measured recall@5 ≈ 0.89 on the synthetic corpus.
+  *  - [[multiTableLshTopK]] — L independent sign-bucket tables from the same
+  *    sketch bits, candidates = union over tables (the standard multi-table
+  *    LSH construction; key cardinality L·2^bits, so no low-cardinality
+  *    shuffle key at scale).
+  *  - [[ivfTopK]] — IVF with data-derived centroids (stride-sampled corpus
+  *    vectors) and nProbe>1 query fan-out.
+  *
+  * On THIS corpus the embeddings are isotropic (near-random: neighbor cos
+  * ≈0.4 vs bulk σ=0.125, measured), so bucket-only methods (LSH/IVF) cannot
+  * reach high recall at low candidate fractions — no planted cluster
+  * structure exists to exploit. The sketch-rerank path does not depend on
+  * cluster structure (its recall follows the Johnson–Lindenstrauss noise
+  * bound) and is the one that meets recall ≥ 0.8 at ≤ 20% candidates;
+  * AnnRecallSpec measures all three against the brute-force baseline.
+  *
+  * Determinism across engines: sketches and centroid assignments are pure
+  * int64 arithmetic over round(x·1e6) microunits — order-independent sums,
+  * so DuckDB reproduces them bit-exactly; doubles appear only in final
+  * ratios computed in identical expression order on both sides.
   */
 object Ann {
 
@@ -38,69 +61,136 @@ object Ann {
       .select("q_id", "c_id", "cos", "rank")
   }
 
-  /** Deterministic integer hyperplane j: component i (0-based) is
-    * ((i+1)·(j+3)) mod 7 − 3 ∈ [−3, 3]. Pure arithmetic → identical in SQL.
+  /** Projection weight for sketch row t (0-based), component i0 (1-based):
+    * an LCG with a per-row multiplier so rows are decorrelated (a shared
+    * multiplier makes every row the same sequence shifted — measured recall
+    * collapse). Values in [-3, 3]; pure int64, identical in SQL.
     */
-  def hyperplaneDot(v: Column, j: Int): Column =
-    aggregate(
-      zip_with(v, sequence(lit(1), size(v)),
-        (x, i) => x * ((i.cast("long") * (j + 3)) % 7 - 3).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def projWeight(t: Int, i0: Column): Column =
+    (i0 * lit((2L * t + 3L) * 2654435761L) + lit((t + 1L) * 1013904223L)) % 1000003L % 7L - 3L
 
-  /** LSH bucket id from `bits` sign bits. */
-  def lshBucket(v: Column, bits: Int): Column =
-    (0 until bits).map(j => when(hyperplaneDot(v, j) >= 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
+  /** SQL twin of [[projWeight]] for a 1-based component expression. */
+  def projWeightSql(t: Int, i0: String): String =
+    s"(($i0 * ${(2L * t + 3L) * 2654435761L} + ${(t + 1L) * 1013904223L}) % 1000003 % 7 - 3)"
 
-  /** Deterministic integer centroid j for IVF: component i (1-based) is
-    * (i·(j+1)) mod 5 − 2 ∈ [−2, 2]. Pure arithmetic → identical in SQL.
+  /** Integer projection sketches: kProj int64 columns s0..s{kProj-1} per
+    * vector, from round(x·1e6) microunits. Computed with posexplode +
+    * groupBy integer sums — codegen'd, map-side combined, order-independent
+    * (exact), one shuffled row per vector. This is the 100 TB shape: the
+    * sketch table is the small scan-side artifact.
     */
-  def centroidDot(v: Column, j: Int): Column =
-    aggregate(
-      zip_with(v, sequence(lit(1), size(v)),
-        (x, i) => x * ((i.cast("long") * (j + 1)) % 5 - 2).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** IVF coarse cell: argmax over nCells centroid dot products (first max,
-    * 1-based — matches SQL list_position(l, list_max(l))).
-    */
-  def ivfCell(v: Column, nCells: Int): Column = {
-    val dots = array((0 until nCells).map(centroidDot(v, _)): _*)
-    array_position(dots, array_max(dots)).cast("int")
+  def sketches(emb: DataFrame, kProj: Int): DataFrame = {
+    val px = emb
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i0"),
+        floor(col("x") * 1e6 + lit(0.5)).cast("long").as("xi"))
+    val aggs = (0 until kProj).map(t => sum(col("xi") * projWeight(t, col("i0"))).as(s"s$t"))
+    px.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** IVF ANN: corpus coarse-quantized into nCells by nearest deterministic
-    * centroid; each query probes only its own cell. The 100 TB shape: cells
-    * are a partition key — candidate scan is |C|/nCells per query and the
-    * cell assignment is one codegen'd pass; recall is tunable via nProbe
-    * (here 1) against the brute-force baseline.
+  /** Sketch cosine between prefixed sketch column sets — a flat codegen'd
+    * arithmetic chain (no HOFs), left-associated like its SQL twin.
     */
-  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int, nCells: Int = 4): DataFrame = {
+  private def sketchCos(kProj: Int, qp: String, cp: String): Column = {
+    def chain(f: Int => Column): Column = (0 until kProj).map(f).reduce(_ + _)
+    val d = chain(t => col(s"$qp$t").cast("double") * col(s"$cp$t"))
+    val nq = sqrt(chain(t => col(s"$qp$t").cast("double") * col(s"$qp$t")))
+    val nc = sqrt(chain(t => col(s"$cp$t").cast("double") * col(s"$cp$t")))
+    d / (nq * nc)
+  }
+
+  /** Compressed-scan + exact-rerank top-k: rank all candidates per query by
+    * sketch cosine, keep the top ceil(cnt/candDiv) (default 1/5 of the
+    * corpus), exact-cosine only those. Candidate cut is integer arithmetic
+    * ((cnt + div-1) div div) so both engines agree exactly.
+    */
+  def sketchRerankTopK(emb: DataFrame, queryFilter: Column, k: Int,
+                       kProj: Int = 32, candDiv: Int = 5): DataFrame = {
+    val sk = sketches(emb, kProj)
+    val qs = sk.where(queryFilter)
+      .select(col("vec_id").as("q_id") +: (0 until kProj).map(t => col(s"s$t").as(s"qs$t")): _*)
+    val cs = sk
+      .select(col("vec_id").as("c_id") +: (0 until kProj).map(t => col(s"s$t").as(s"cs$t")): _*)
+    val wSk = Window.partitionBy(col("q_id"))
+    val scored = qs.join(cs, col("c_id") =!= col("q_id"))
+      .withColumn("sk_cos", sketchCos(kProj, "qs", "cs"))
+      .withColumn("rn", row_number().over(wSk.orderBy(col("sk_cos").desc, col("c_id"))))
+      .withColumn("cnt", count(lit(1)).over(wSk))
+      .where(col("rn") <= expr(s"(cnt + ${candDiv - 1}) div $candDiv"))
+      .select("q_id", "c_id")
+    rerankExact(emb, scored, k)
+  }
+
+  /** Exact-cosine rerank of (q_id, c_id) candidate pairs → top-k per query. */
+  def rerankExact(emb: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("cell", ivfCell(col("v"), nCells))
-    val q = e.where(queryFilter).select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
-    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("cell"))
-    val scored = q.join(c, Seq("cell")).where(col("c_id") =!= col("q_id"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("v").as("cv")), "c_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("q_id", "c_id", "cos", "rank", "cell")
+      .select("q_id", "c_id", "cos", "rank")
   }
 
-  /** Bucketed ANN: probe only the query's bucket. Recall < 1 by design —
-    * the scale path; the brute-force baseline measures its recall.
+  /** Multi-table LSH: table t's bucket = sign bits of sketch rows
+    * t·bits..t·bits+bits-1; candidates = union over tables, deduped. Key
+    * cardinality is tables·2^bits — sized so no single join key funnels the
+    * corpus at scale.
     */
-  def lshTopK(emb: DataFrame, queryFilter: Column, k: Int, bits: Int = 4): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), bits))
-    val q = e.where(queryFilter).select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("bucket"))
-    val scored = q.join(c, Seq("bucket")).where(col("c_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "cos", "rank", "bucket")
+  def multiTableLshTopK(emb: DataFrame, queryFilter: Column, k: Int,
+                        tables: Int = 4, bits: Int = 8): DataFrame = {
+    val kProj = tables * bits
+    val sk = sketches(emb, kProj)
+    def bucket(t: Int): Column =
+      (0 until bits).map(j => when(col(s"s${t * bits + j}") >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+    val tb = sk.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), bucket(t).as("bkt"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bkt").as("bkt"))
+    val qIds = emb.where(queryFilter).select(col("vec_id").as("q_id"))
+    val qb = tb.join(qIds, tb("vec_id") === qIds("q_id"))
+      .select(col("q_id"), col("tbl"), col("bkt"))
+    val pairs = qb.join(tb, Seq("tbl", "bkt"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id")).distinct()
+    rerankExact(emb, pairs, k)
+  }
+
+  /** IVF with data-derived centroids: centroids are stride-sampled corpus
+    * vectors (vec_id ≡ 7 mod 31, first nCells by id — a seeded sample that
+    * any engine reproduces); corpus vectors live in their best cell, queries
+    * probe their top nProbe cells. Assignment dots are exact int64 sums over
+    * microunits via a broadcast position-join (codegen'd, no HOF in the
+    * per-row hot path).
+    */
+  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val micro = emb.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("p", "x")))
+      .select(col("vec_id"), col("p").as("pos"), floor(col("x") * 1e6 + lit(0.5)).cast("long").as("xi"))
+    val cents = emb.where(col("vec_id") % 31 === 7).orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), posexplode(asDouble(col("embedding"))).as(Seq("p", "x")))
+      .select(col("cid"), col("p").as("pos"), floor(col("x") * 1e6 + lit(0.5)).cast("long").as("ci"))
+    val cnorm = cents.groupBy("cid").agg(sum(col("ci") * col("ci")).as("cnorm"))
+    // per (vector, centroid) integer dot; within a vector the rank order by
+    // dot/sqrt(cnorm) equals the cosine order (the vector's own norm is a
+    // positive constant across its partition)
+    val dots = micro.join(broadcast(cents), "pos")
+      .groupBy("vec_id", "cid").agg(sum(col("xi") * col("ci")).as("dotc"))
+      .join(broadcast(cnorm), "cid")
+      .withColumn("score", col("dotc").cast("double") / sqrt(col("cnorm").cast("double")))
+    val wC = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+    val ranked = dots.withColumn("cr", row_number().over(wC))
+    val corpusCell = ranked.where(col("cr") === 1).select(col("vec_id").as("c_id"), col("cid"))
+    val qIds = emb.where(queryFilter).select(col("vec_id").as("q_id"))
+    val queryCells = ranked.join(qIds, ranked("vec_id") === qIds("q_id"))
+      .where(col("cr") <= nProbe).select(col("q_id"), col("cid"))
+    val pairs = queryCells.join(corpusCell, Seq("cid"))
+      .where(col("c_id") =!= col("q_id"))
+      .select("q_id", "c_id").distinct()
+    rerankExact(emb, pairs, k)
   }
 }

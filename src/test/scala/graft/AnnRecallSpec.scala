@@ -7,9 +7,18 @@ import graft.ops.Ann
 import graft.sources.Tables
 
 /** Recall of the approximate ANN paths against the brute-force baseline —
-  * the accuracy/cost trade both scale paths exist to make measurable.
+  * the accuracy/cost trade every scale path exists to make measurable.
+  *
+  * Measured at sf0.1 (2000 vectors). The corpus is isotropic (no planted
+  * cluster structure: neighbor cos ≈0.4 vs bulk σ=0.125), so bucket-only
+  * LSH/IVF recall is bounded low at small candidate fractions by geometry,
+  * while the sketch-rerank path (whose recall follows the JL noise bound,
+  * independent of clustering) must clear recall@5 ≥ 0.8 while exact-scoring
+  * at most 1/5 of the corpus per query.
   */
 class AnnRecallSpec extends SparkSpec {
+
+  private val SfBig = "/root/testdata/sf0.1"
 
   private def topSet(df: DataFrame): Map[Long, Set[Long]] =
     df.select("q_id", "c_id").collect()
@@ -23,19 +32,30 @@ class AnnRecallSpec extends SparkSpec {
     scores.sum / scores.size
   }
 
-  test("LSH and IVF recall vs brute force is measurable and non-degenerate") {
-    val emb = Tables.embeddings(spark, Sf)
+  test("sketch-rerank reaches recall@5 >= 0.8 scanning <= 1/5 of the corpus exactly") {
+    val emb = Tables.embeddings(spark, SfBig)
     val qf = col("vec_id") < 20
     val exact = Ann.bruteForceTopK(emb, qf, k = 5)
-    val lsh = Ann.lshTopK(emb, qf, k = 5, bits = 4)
-    val ivf = Ann.ivfTopK(emb, qf, k = 5, nCells = 4)
+    val sk = Ann.sketchRerankTopK(emb, qf, k = 5) // candDiv=5 ⇒ 20% by construction
+    val r = recall(sk, exact)
+    info(f"recall@5 sketch-rerank (candidates = 1/5 of corpus): $r%.3f")
+    assert(topSet(sk).size === 20)
+    assert(r >= 0.8, f"sketch-rerank recall $r%.3f below 0.8")
+  }
+
+  test("multi-table LSH and trained IVF recall are measurable and non-degenerate") {
+    val emb = Tables.embeddings(spark, SfBig)
+    val qf = col("vec_id") < 20
+    val exact = Ann.bruteForceTopK(emb, qf, k = 5)
+    val lsh = Ann.multiTableLshTopK(emb, qf, k = 5, tables = 4, bits = 8)
+    val ivf = Ann.ivfTopK(emb, qf, k = 5, nCells = 16, nProbe = 2)
     val rLsh = recall(lsh, exact)
     val rIvf = recall(ivf, exact)
-    info(f"recall@5: lsh=$rLsh%.3f ivf=$rIvf%.3f")
-    // approximate paths trade recall for a 2^bits / nCells candidate-set cut;
-    // they must return full result sets and beat the random floor
+    info(f"recall@5: multi-table lsh=$rLsh%.3f ivf(nProbe=2)=$rIvf%.3f (isotropic corpus)")
+    // full result sets and clearly above the random-candidate floor
+    // (lsh frac ≈ 4/2^8 ≈ 1.6%, ivf frac ≈ 2/16 = 12.5%)
     assert(topSet(lsh).size === 20 && topSet(ivf).size === 20)
     assert(rLsh > 0.05 && rLsh <= 1.0)
-    assert(rIvf > 0.05 && rIvf <= 1.0)
+    assert(rIvf > 0.15 && rIvf <= 1.0)
   }
 }

@@ -74,14 +74,20 @@ class OpsSpec extends SparkSpec {
     r1.foreach { case (q, c) => assert(c === all(q)) }
   }
 
-  test("ANN LSH results are a subset of brute-force candidates with same-bucket constraint") {
+  test("ANN sketch-rerank and multi-table LSH agree with brute force on shared hits") {
     val emb = Tables.embeddings(spark, Sf)
-    val lsh = Ann.lshTopK(emb, col("vec_id") < 3, 5, 4)
-    // every returned neighbor shares the query's bucket by construction
-    val buckets = emb.select(col("vec_id"),
-      Ann.lshBucket(transform(col("embedding"), x => x.cast("double")), 4).as("b"))
-    val joined = lsh.join(buckets.withColumnRenamed("vec_id", "c_id").withColumnRenamed("b", "cb"), "c_id")
-    assert(joined.where(col("bucket") =!= col("cb")).count() === 0)
+    val exact = Ann.bruteForceTopK(emb, col("vec_id") < 3, 5)
+      .select(col("q_id"), col("c_id"), col("cos")).as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // every (q, c) the approximate paths return must carry the SAME exact
+    // cosine the brute-force scorer computes (the rerank stage is exact)
+    Seq(Ann.sketchRerankTopK(emb, col("vec_id") < 3, 5),
+      Ann.multiTableLshTopK(emb, col("vec_id") < 3, 5)).foreach { ap =>
+      ap.select(col("q_id"), col("c_id"), col("cos")).as[(Long, Long, Double)].collect()
+        .foreach { case (q, c, cs) =>
+          exact.get((q, c)).foreach(e => assert(e === cs, s"cos mismatch for ($q,$c)"))
+        }
+    }
   }
 
   test("text ops: quality in [0,100]-ish band, token counts positive, langid total") {

@@ -324,6 +324,47 @@ object QueriesPipeline {
           col("o.orig_pkts").as("orig_pkts"), col("o.resp_pkts").as("resp_pkts"))
     }),
 
+    // real NetFlow v9: wire-format flowset framing (Catalyst byte slicing)
+    // feeding the template-stateful decode — cross-packet template state per
+    // exporter, data-before-template and never-defined-template packets
+    // emitted as undecodable (counted-and-skipped), record loop bounded by
+    // the header count
+    "p27_netflow_v9" -> ((s, dir) => {
+      import s.implicits._
+      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9Packets(s, dir))
+      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
+        col("seq"), col("is_template").as("isTemplate"), col("widths"),
+        col("payload"), col("max_recs").as("maxRecs"))
+        .as[graft.streaming.Templates.NfRec]
+      graft.streaming.Templates.decodeBatch(ds).toDF()
+        .select(col("exporter").cast("int").as("exporter_id"),
+          col("templateId").as("template_id"), col("seq"),
+          col("recIdx").as("rec_idx"), col("decoded"),
+          element_at(col("fields"), 1).as("srcaddr"),
+          element_at(col("fields"), 2).as("src_port"),
+          element_at(col("fields"), 3).as("dst_port"),
+          element_at(col("fields"), 4).as("in_bytes"))
+    }),
+
+    // NetFlow stats counters (reference src/parser/netflow/statistics.rs):
+    // flowset counts from the framing stage + record outcomes from the
+    // stateful decode, one aggregate row
+    "p28_netflow_stats" -> ((s, dir) => {
+      import s.implicits._
+      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9Packets(s, dir))
+      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
+        col("seq"), col("is_template").as("isTemplate"), col("widths"),
+        col("payload"), col("max_recs").as("maxRecs"))
+        .as[graft.streaming.Templates.NfRec]
+      val fs = recs.agg(
+        sum(when(col("is_template"), 1L).otherwise(0L)).as("template_flowsets"),
+        sum(when(!col("is_template"), 1L).otherwise(0L)).as("data_flowsets"))
+      val ev = graft.streaming.Templates.decodeBatch(ds).toDF().agg(
+        sum(when(col("decoded"), 1L).otherwise(0L)).as("decoded_records"),
+        sum(when(!col("decoded"), 1L).otherwise(0L)).as("undecodable_flowsets"))
+      fs.crossJoin(ev)
+    }),
+
     // Smtp layout: comma-split recipient array with '-' sentinel → []
     "p25_parse_smtp" -> ((s, dir) => {
       val did = col("did")
@@ -607,6 +648,30 @@ object QueriesPipeline {
         |  cast(443 AS bigint) AS dst_port,
         |  (did + j) % 4294967296 AS d_octets
         |FROM (SELECT *, unnest(range(1 + did % 3)) AS j FROM v2)""".stripMargin),
+
+    "p27_netflow_v9" -> withCtes(V2Cte)(
+      """SELECT
+        |  cast((did//10) % 4096 AS int) AS exporter_id,
+        |  cast(CASE WHEN did % 10 = 5 THEN 256 + (did//10) % 100 + 101
+        |            ELSE 256 + (did//10) % 100 END AS int) AS template_id,
+        |  CASE WHEN did % 10 = 1 THEN did + 8 ELSE did + 10 END AS seq,
+        |  cast(j AS int) AS rec_idx,
+        |  did % 10 NOT IN (1, 5) AS decoded,
+        |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE (did * 2654435761 + j * 7919) % 4294967296 END AS srcaddr,
+        |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE 1024 + (did + j) % 60000 END AS src_port,
+        |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE 443 END AS dst_port,
+        |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE (did + j) % 4294967296 END AS in_bytes
+        |FROM (SELECT *, unnest(range(CASE WHEN did % 10 IN (1, 5, 7) THEN 1 ELSE 1 + did % 2 END)) AS j
+        |      FROM v2 WHERE did % 10 <> 0)""".stripMargin),
+
+    "p28_netflow_stats" -> withCtes(V2Cte)(
+      """SELECT
+        |  cast(sum(CASE WHEN did % 10 = 0 THEN 1 ELSE 0 END) AS bigint) AS template_flowsets,
+        |  cast(sum(CASE WHEN did % 10 <> 0 THEN 1 ELSE 0 END) AS bigint) AS data_flowsets,
+        |  cast(sum(CASE WHEN did % 10 IN (0, 1, 5) THEN 0
+        |                WHEN did % 10 = 7 THEN 1 ELSE 1 + did % 2 END) AS bigint) AS decoded_records,
+        |  cast(sum(CASE WHEN did % 10 IN (1, 5) THEN 1 ELSE 0 END) AS bigint) AS undecodable_flowsets
+        |FROM v2""".stripMargin),
 
     "p20_tuple_list" -> withCtes(V2Cte)(
       """SELECT doc_id, cast(0 AS int) AS idx,

@@ -68,6 +68,59 @@ object BinaryDecode {
       .drop("packet")
   }
 
+  /** NetFlow v9 wire framing, pure Catalyst: header (20 bytes — version u16,
+    * count u16, sys_uptime u32, unix_secs u32, flow_sequence u32, source_id
+    * u32; reference packet.rs:289-300) followed by a walk over up to
+    * `maxFlowsets` flowsets, each (flowset_id u16, flowset_length u16, body)
+    * with the NEXT offset depending on the previous length
+    * (packet.rs:306-310). Template flowsets (id 0) decode their
+    * (type, length) pair list (packet.rs:330-355); data flowsets keep the
+    * raw record bytes as a hex payload for the template-stateful decode
+    * stage ([[graft.streaming.Templates]]). One output row per flowset:
+    * (exporter, seq, is_template, template_id, field_types, widths(hex
+    * chars), payload, max_recs).
+    */
+  def netflowV9Recs(packets: org.apache.spark.sql.DataFrame,
+                    maxFlowsets: Int = 3): org.apache.spark.sql.DataFrame = {
+    val p = col("packet")
+    // flowset offsets: o1 = 21 (1-based); o_{i+1} = o_i + length_i
+    val offsets = Iterator.iterate(lit(21L).cast("long"), maxFlowsets)(o =>
+      o + beUintAt(p, (o + 2).cast("int"), 2)).toSeq
+    val fsStructs = offsets.map { o =>
+      struct(o.as("off"), (length(p) >= o + 3).as("valid"))
+    }
+    val base = packets
+      .withColumn("version", beUint(p, 1, 2))
+      .where(col("version") === 9L)
+      .withColumn("max_recs", beUint(p, 3, 2).cast("int"))
+      .withColumn("exporter", beUint(p, 17, 4).cast("string"))
+      .withColumn("seq", beUint(p, 13, 4))
+      .withColumn("fs", explode(array(fsStructs: _*)))
+      .where(col("fs.valid"))
+      .withColumn("o", col("fs.off").cast("int"))
+    val fsId = beUintAt(p, col("o"), 2)
+    val fsLen = beUintAt(p, col("o") + 2, 2)
+    val tplId = beUintAt(p, col("o") + 4, 2)
+    val fldCnt = beUintAt(p, col("o") + 6, 2)
+    // template field pairs at o+8: (type u16, byte-length u16) per field;
+    // widths are kept in hex chars (2× bytes) for the payload slicer
+    val widths = transform(sequence(lit(0L), fldCnt - 1),
+      j => (beUintAt(p, (col("o") + 8 + j * 4 + 2).cast("int"), 2) * 2).cast("int"))
+    val ftypes = transform(sequence(lit(0L), fldCnt - 1),
+      j => beUintAt(p, (col("o") + 8 + j * 4).cast("int"), 2).cast("int"))
+    base
+      .withColumn("is_template", fsId === 0L)
+      .withColumn("template_id", when(fsId === 0L, tplId).otherwise(fsId).cast("int"))
+      .withColumn("field_types",
+        when(fsId === 0L && fldCnt > 0, ftypes).otherwise(array().cast("array<int>")))
+      .withColumn("widths",
+        when(fsId === 0L && fldCnt > 0, widths).otherwise(array().cast("array<int>")))
+      .withColumn("payload",
+        when(fsId === 0L, lit("")).otherwise(lower(hex(p.substr(col("o") + 4, (fsLen - 4).cast("int"))))))
+      .select("exporter", "template_id", "seq", "is_template", "widths",
+        "field_types", "payload", "max_recs")
+  }
+
   /** Dotted-quad string from a u32 address (reference renders IpAddr —
     * src/parser/netflow/fields.rs).
     */

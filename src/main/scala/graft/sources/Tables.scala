@@ -297,6 +297,61 @@ object Tables {
       unhex(pkt).as("packet"))
   }
 
+  /** NetFlow v9 packets on the real wire layout (packet.rs:289-310,330-355,
+    * 465-479): 20-byte header (version, count, uptime, unix_secs,
+    * flow_sequence, source_id) + one flowset.
+    *
+    * Exporter groups of 10 docs (source_id = ⌊did/10⌋):
+    *  - did%10==0 → template packet: flowset id 0 defining template
+    *    256+g%100 with fields (IPv4SrcAddr/4, L4SrcPort/2, L4DstPort/2,
+    *    InBytes/4) — field type ids from the reference's table
+    *    (fields.rs: InBytes=1, L4SrcPort=7, IPv4SrcAddr=8, L4DstPort=11)
+    *  - did%10==1 → data packet whose flow_sequence predates the template
+    *    (data-before-template ⇒ undecodable, counted-and-skipped)
+    *  - did%10==5 → data flowset referencing a never-defined template id
+    *  - did%10==7 → payload carries 2 records but header count=1 (the
+    *    decode loop must stop at the header bound)
+    *  - otherwise  → 1+did%2 records, all decodable
+    */
+  def nfV9Packets(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
+    val g = idiv(did, 10L)
+    val tid = lit(256L) + g % 100L
+    val isTpl = did % 10 === 0
+    val isOrphan = did % 10 === 5
+    val isBounded = did % 10 === 7
+    val rc = lit(1L) + did % 2L                 // records actually in payload
+    val hc = when(isTpl || isBounded, 1L).otherwise(rc) // header count
+    // +10 keeps the data-before-template sequence unsigned for did=1
+    // (u32 wire field; -1 would wrap and sort after its template)
+    val seq = when(did % 10 === 1, did + 8).otherwise(did + 10)
+    val header = concat(
+      hexN(lit(9L), 4), hexN(hc, 4),
+      hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
+      hexN(seq, 8), hexN(g % 4096L, 8))
+    // template flowset: id 0, len 4+4+4*4=24, template_id, field_count=4,
+    // (type, byte-len) pairs
+    val tplFs = concat(hexN(lit(0L), 4), hexN(lit(24L), 4),
+      hexN(tid, 4), hexN(lit(4L), 4),
+      hexN(lit(8L), 4), hexN(lit(4L), 4),    // IPv4SrcAddr, 4 bytes
+      hexN(lit(7L), 4), hexN(lit(2L), 4),    // L4SrcPort, 2
+      hexN(lit(11L), 4), hexN(lit(2L), 4),   // L4DstPort, 2
+      hexN(lit(1L), 4), hexN(lit(4L), 4))    // InBytes, 4
+    def rec(j: Int): Column = when(lit(j) < rc, concat(
+      hexN((did * 2654435761L + j * 7919L) % 4294967296L, 8),
+      hexN(lit(1024L) + (did + j) % 60000L, 4),
+      hexN(lit(443L), 4),
+      hexN((did + j) % 4294967296L, 8))).otherwise(lit(""))
+    val dataId = when(isOrphan, tid + 101L).otherwise(tid)
+    val dataFs = concat(hexN(dataId, 4), hexN(lit(4L) + rc * 12L, 4), rec(0), rec(1))
+    val pkt = concat(header, when(isTpl, tplFs).otherwise(dataFs))
+    documents(spark, dir).select(
+      concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
+      did.as("did"),
+      unhex(pkt).as("packet"))
+  }
+
   /** Broadcast-side source dimension (analog of SecurityLogInfo —
     * /root/reference/src/parser/security_log.rs:54-87): one row per source,
     * derived deterministically so the oracle can rebuild it.

@@ -24,30 +24,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Templates {
 
   /** One exporter record: a template definition (widths, in hex chars per
-    * field) or a data record (payload = hex string to slice by the current
-    * template).
+    * field) or a data FLOWSET (payload = hex string holding up to `maxRecs`
+    * back-to-back records to slice by the current template — the reference
+    * bounds the record loop by the header count, packet.rs:474-476).
     */
   final case class NfRec(exporter: String, templateId: Int, seq: Long,
-                         isTemplate: Boolean, widths: Seq[Int], payload: String)
+                         isTemplate: Boolean, widths: Seq[Int], payload: String,
+                         maxRecs: Int = Int.MaxValue)
 
   final case class NfDecoded(exporter: String, templateId: Int, seq: Long,
-                             decoded: Boolean, fields: Seq[Long])
+                             recIdx: Int, decoded: Boolean, fields: Seq[Long])
 
   /** State: latest widths per template id for this exporter. */
   final case class TplState(widths: Map[Int, Seq[Int]])
 
-  private def decodeOne(rec: NfRec, widths: Option[Seq[Int]]): NfDecoded =
+  /** Decode every record packed in the flowset payload: records of
+    * Σwidths hex chars, while payload remains and the header count allows —
+    * the reference's dataset loop (packet.rs:465-479). No template → one
+    * undecoded marker row (counted-and-skipped semantics).
+    */
+  private def decodeRecords(rec: NfRec, widths: Option[Seq[Int]]): Seq[NfDecoded] =
     widths match {
-      case Some(ws) =>
-        var off = 0
-        val fields = ws.map { w =>
-          val v = java.lang.Long.parseLong(rec.payload.substring(off, off + w), 16)
-          off += w
-          v
+      case Some(ws) if ws.nonEmpty =>
+        val recLen = ws.sum
+        val n = math.min(rec.payload.length / recLen, rec.maxRecs)
+        (0 until n).map { r =>
+          var off = r * recLen
+          val fields = ws.map { w =>
+            val v = java.lang.Long.parseLong(rec.payload.substring(off, off + w), 16)
+            off += w
+            v
+          }
+          NfDecoded(rec.exporter, rec.templateId, rec.seq, r, decoded = true, fields)
         }
-        NfDecoded(rec.exporter, rec.templateId, rec.seq, decoded = true, fields)
-      case None =>
-        NfDecoded(rec.exporter, rec.templateId, rec.seq, decoded = false, Seq.empty)
+      case _ =>
+        Seq(NfDecoded(rec.exporter, rec.templateId, rec.seq, 0, decoded = false, Seq.empty))
     }
 
   /** Pure per-group fold, shared by the streaming and batch forms: records
@@ -55,12 +66,15 @@ object Templates {
     * with the template in force at their seq.
     */
   def foldGroup(recs: Iterator[NfRec], init: TplState): (Seq[NfDecoded], TplState) = {
-    val sorted = recs.toSeq.sortBy(_.seq)
+    // at equal seq (flowsets of one packet) templates apply first — the
+    // reference registers a packet's template flowsets before decoding its
+    // data flowsets in the same pass
+    val sorted = recs.toSeq.sortBy(r => (r.seq, if (r.isTemplate) 0 else 1))
     var st = init
     val out = Seq.newBuilder[NfDecoded]
     sorted.foreach { r =>
       if (r.isTemplate) st = TplState(st.widths + (r.templateId -> r.widths))
-      else out += decodeOne(r, st.widths.get(r.templateId))
+      else out ++= decodeRecords(r, st.widths.get(r.templateId))
     }
     (out.result(), st)
   }

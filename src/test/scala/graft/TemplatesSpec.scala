@@ -45,6 +45,39 @@ class TemplatesSpec extends SparkSpec {
     assert(st.widths(7) === Seq(2, 2))
   }
 
+  test("real v9 wire bytes: framing + stateful decode, multi-flowset packet, count bound") {
+    import org.apache.spark.sql.functions._
+    // A: template packet (exporter 42, seq 1): template 257 = (IPv4SrcAddr/4, L4SrcPort/2)
+    val pktA = "0009" + "0001" + "00000000" + "655fa1c0" + "00000001" + "0000002a" +
+      "0000" + "0010" + "0101" + "0002" + "0008" + "0004" + "0007" + "0002"
+    // B: data packet (seq 2, count=2): two 6-byte records for template 257
+    val pktB = "0009" + "0002" + "00000000" + "655fa1c0" + "00000002" + "0000002a" +
+      "0101" + "0010" + "0a010203" + "1f90" + "0a010204" + "1f91"
+    // C: ONE packet carrying template 258 (one u16 field) AND its data
+    // flowset — exercises the dependent-offset flowset walk and the
+    // same-seq template-first rule
+    val pktC = "0009" + "0001" + "00000000" + "655fa1c0" + "00000003" + "0000002a" +
+      "0000" + "000c" + "0102" + "0001" + "0001" + "0002" +
+      "0102" + "0006" + "beef"
+    // D: count=1 but payload has 2 records — loop must stop at header bound
+    val pktD = "0009" + "0001" + "00000000" + "655fa1c0" + "00000004" + "0000002a" +
+      "0101" + "0010" + "0a010205" + "1f92" + "0a010206" + "1f93"
+    val packets = Seq(pktA, pktB, pktC, pktD).toDF("h")
+      .select(unhex(col("h")).as("packet"))
+    val recs = graft.operators.BinaryDecode.netflowV9Recs(packets)
+      .select(col("exporter"), col("template_id").as("templateId"), col("seq"),
+        col("is_template").as("isTemplate"), col("widths"), col("payload"),
+        col("max_recs").as("maxRecs"))
+      .as[NfRec]
+    val out = Templates.decodeBatch(recs).collect()
+      .map(d => (d.seq, d.recIdx) -> (d.decoded, d.templateId, d.fields.toList)).toMap
+    assert(out((2L, 0)) === (true, 257, List(0x0a010203L, 8080L)))
+    assert(out((2L, 1)) === (true, 257, List(0x0a010204L, 8081L)))
+    assert(out((3L, 0)) === (true, 258, List(0xbeefL)))      // same-packet tpl+data
+    assert(out((4L, 0)) === (true, 257, List(0x0a010205L, 8082L)))
+    assert(!out.contains((4L, 1)), "record loop must stop at the header count")
+  }
+
   test("streaming: template from batch 1 decodes data arriving in batch 2 (state persists)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[NfRec]

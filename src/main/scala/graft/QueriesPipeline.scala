@@ -365,6 +365,50 @@ object QueriesPipeline {
       fs.crossJoin(ev)
     }),
 
+    // REAL tab-separated file scan with '#' comment skipping (the §2.1 Zeek
+    // reader config — reference src/parser/zeek.rs:71-79): a staged fixture
+    // FILE is written, then read back through the csv reader; the oracle
+    // re-derives every row arithmetically, so a reader-config bug (comment
+    // rows leaking, wrong delimiter) breaks the row count or hash
+    "f01_file_scan" -> ((s, dir) => {
+      val (mo, dy) = (lpad((lit(1) + col("did") % 12).cast("string"), 2, "0"),
+        lpad((lit(10) + col("did") % 19).cast("string"), 2, "0"))
+      val sec = (lit(1700000000L) + col("did") % 1000L).cast("string")
+      val frac = lpad(((col("did") % 7L) * 125000L).cast("string"), 6, "0")
+      val data = Tables.rawEvents2(s, dir).select(concat_ws("\t",
+        col("did"), concat(sec, lit("."), frac),
+        concat(lit("10.9."), (col("did") % 250L).cast("string"), lit("."),
+          (col("did") % 200L + 1L).cast("string")),
+        (lit(1024L) + col("did") % 60000L),
+        concat(lit("m"), mo, dy)).as("value"))
+      val comments = s.range(20)
+        .select(concat(lit("# staged comment "), col("id")).as("value"))
+      val path = graft.operators.RawLog.stage(data.unionByName(comments), "zeek_tsv", dir)
+      s.read.option("sep", "\t").option("comment", "#")
+        .schema("did LONG, ts STRING, ip STRING, port INT, msg STRING")
+        .csv(path)
+        .select(col("did"),
+          (element_at(split(col("ts"), "\\."), 1).cast("long") * 1000000000L +
+            element_at(split(col("ts"), "\\."), 2).cast("long") * 1000L).as("ts_ns"),
+          col("ip"), col("port"), col("msg"))
+    }),
+
+    // raw-log binary fallback sink (reference log.rs:129-194): a staged file
+    // WITH empty lines is read through the text source, empties skipped,
+    // each surviving line wrapped as (kind, log bytes, ts_ns)
+    "f02_raw_log_sink" -> ((s, dir) => {
+      val data = Tables.rawEvents2(s, dir).select(
+        concat(lit("raw "), col("did"), lit(" payload-"), col("did") % 50).as("value"))
+      val empties = s.range(25).select(lit("").as("value"))
+      val path = graft.operators.RawLog.stage(data.unionByName(empties), "raw_log", dir)
+      val lines = graft.operators.RawLog.readLines(s, path)
+      val didFromLine = regexp_extract(col("value"), "^raw (\\d+) ", 1).cast("long")
+      graft.operators.RawLog.wrap(lines, "applog",
+        (lit(1700000000L) + didFromLine % 1000L) * 1000000000L)
+        .select(col("kind"), decode(col("log"), "UTF-8").as("log_str"),
+          length(col("log")).cast("long").as("n_bytes"), col("ts_ns"))
+    }),
+
     // Smtp layout: comma-split recipient array with '-' sentinel → []
     "p25_parse_smtp" -> ((s, dir) => {
       val did = col("did")
@@ -663,6 +707,21 @@ object QueriesPipeline {
         |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE (did + j) % 4294967296 END AS in_bytes
         |FROM (SELECT *, unnest(range(CASE WHEN did % 10 IN (1, 5, 7) THEN 1 ELSE 1 + did % 2 END)) AS j
         |      FROM v2 WHERE did % 10 <> 0)""".stripMargin),
+
+    "f01_file_scan" -> withCtes(V2Cte)(
+      """SELECT did,
+        |  (1700000000 + did % 1000)*1000000000 + ((did % 7) * 125000)*1000 AS ts_ns,
+        |  '10.9.' || cast(did % 250 AS varchar) || '.' || cast(did % 200 + 1 AS varchar) AS ip,
+        |  cast(1024 + did % 60000 AS int) AS port,
+        |  'm' || lpad(cast(1 + did % 12 AS varchar), 2, '0') || lpad(cast(10 + did % 19 AS varchar), 2, '0') AS msg
+        |FROM v2""".stripMargin),
+
+    "f02_raw_log_sink" -> withCtes(V2Cte)(
+      """SELECT 'applog' AS kind,
+        |  'raw ' || cast(did AS varchar) || ' payload-' || cast(did % 50 AS varchar) AS log_str,
+        |  cast(length('raw ' || cast(did AS varchar) || ' payload-' || cast(did % 50 AS varchar)) AS bigint) AS n_bytes,
+        |  (1700000000 + did % 1000)*1000000000 AS ts_ns
+        |FROM v2""".stripMargin),
 
     "p28_netflow_stats" -> withCtes(V2Cte)(
       """SELECT

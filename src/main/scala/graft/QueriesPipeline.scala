@@ -155,6 +155,25 @@ object QueriesPipeline {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100).cast("long").as("sum_disc_c"),
         count(lit(1)).as("cnt"))),
 
+    // left-semi join (EXISTS): orders that contain at least one
+    // high-discount line — completes the q-series relational coverage
+    "q02_semi_join" -> ((s, dir) =>
+      Tables.orders(s, dir).join(
+        Tables.lineitem(s, dir).where(col("l_discount") >= 0.09)
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"))),
+
+    // grouping sets: per-source, per-lang, and per-(source,lang) aggregates
+    // in one shuffle pass
+    "q04_grouping_sets" -> ((s, dir) =>
+      Tables.documents(s, dir).groupingSets(
+        Seq(Seq(col("source")), Seq(col("lang")), Seq(col("source"), col("lang"))),
+        col("source"), col("lang"))
+        .agg(count(lit(1)).as("records"), sum(col("n_chars")).as("sum_chars"))
+        .select("source", "lang", "records", "sum_chars")),
+
     "q03_join" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -573,6 +592,17 @@ object QueriesPipeline {
         |  cast(round(sum(l_extendedprice*(1-l_discount))*100) AS bigint) AS sum_disc_c,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_semi_join" ->
+      """SELECT o_orderkey, cast(round(o_totalprice*100) AS bigint) AS total_cents
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)""".stripMargin,
+
+    "q04_grouping_sets" ->
+      """SELECT source, lang, count(*) AS records, cast(sum(n_chars) AS bigint) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source), (lang), (source, lang))""".stripMargin,
 
     "q03_join" ->
       """SELECT l_orderkey, c_mktsegment,

@@ -102,21 +102,28 @@ object BinaryDecode {
     val fsLen = beUintAt(p, col("o") + 2, 2)
     val tplId = beUintAt(p, col("o") + 4, 2)
     val fldCnt = beUintAt(p, col("o") + 6, 2)
-    // template field pairs at o+8: (type u16, byte-length u16) per field;
-    // widths are kept in hex chars (2× bytes) for the payload slicer
-    val widths = transform(sequence(lit(0L), fldCnt - 1),
-      j => (beUintAt(p, (col("o") + 8 + j * 4 + 2).cast("int"), 2) * 2).cast("int"))
-    val ftypes = transform(sequence(lit(0L), fldCnt - 1),
-      j => beUintAt(p, (col("o") + 8 + j * 4).cast("int"), 2).cast("int"))
+    // template flowset (id 0): field pairs at o+8, count from the header
+    // (packet.rs:330-355). Options template (id 1): scope/option byte
+    // lengths at o+6/o+8, pairs at o+10, combined like the reference's
+    // scope_fields ++ option_fields (packet.rs:357-400). Each pair is
+    // (type u16, byte-length u16); widths kept in hex chars (2× bytes).
+    def pairList(start: Column, n: Column, pick: Int): Column =
+      transform(sequence(lit(0L), n - 1), j => pick match {
+        case 0 => beUintAt(p, (start + j * 4).cast("int"), 2).cast("int")
+        case _ => (beUintAt(p, (start + j * 4 + 2).cast("int"), 2) * 2).cast("int")
+      })
+    val optPairs = (beUintAt(p, col("o") + 6, 2) + beUintAt(p, col("o") + 8, 2)) / 4
+    def tplSel(pick: Int): Column =
+      when(fsId === 0L && fldCnt > 0, pairList(col("o") + 8, fldCnt, pick))
+        .when(fsId === 1L && optPairs > 0, pairList(col("o") + 10, optPairs.cast("long"), pick))
+        .otherwise(array().cast("array<int>"))
     base
-      .withColumn("is_template", fsId === 0L)
-      .withColumn("template_id", when(fsId === 0L, tplId).otherwise(fsId).cast("int"))
-      .withColumn("field_types",
-        when(fsId === 0L && fldCnt > 0, ftypes).otherwise(array().cast("array<int>")))
-      .withColumn("widths",
-        when(fsId === 0L && fldCnt > 0, widths).otherwise(array().cast("array<int>")))
+      .withColumn("is_template", fsId <= 1L)
+      .withColumn("template_id", when(fsId <= 1L, tplId).otherwise(fsId).cast("int"))
+      .withColumn("field_types", tplSel(0))
+      .withColumn("widths", tplSel(1))
       .withColumn("payload",
-        when(fsId === 0L, lit("")).otherwise(lower(hex(p.substr(col("o") + 4, (fsLen - 4).cast("int"))))))
+        when(fsId <= 1L, lit("")).otherwise(lower(hex(p.substr(col("o") + 4, (fsLen - 4).cast("int"))))))
       .select("exporter", "template_id", "seq", "is_template", "widths",
         "field_types", "payload", "max_recs")
   }

@@ -78,6 +78,26 @@ class TemplatesSpec extends SparkSpec {
     assert(!out.contains((4L, 1)), "record loop must stop at the header count")
   }
 
+  test("v9 options template (flowset id 1): scope+option pairs define the widths") {
+    import org.apache.spark.sql.functions._
+    // options template 259: scope (System/2B) = 1 pair, options (InBytes/4B)
+    // = 1 pair → record = 6 bytes; then its data packet
+    val pktT = "0009" + "0001" + "00000000" + "655fa1c0" + "00000001" + "0000002b" +
+      "0001" + "0012" + "0103" + "0004" + "0004" +
+      "0001" + "0002" + "0001" + "0004"
+    val pktD = "0009" + "0001" + "00000000" + "655fa1c0" + "00000002" + "0000002b" +
+      "0103" + "000a" + "00aa" + "000f4240"
+    val packets = Seq(pktT, pktD).toDF("h").select(unhex(col("h")).as("packet"))
+    val recs = graft.operators.BinaryDecode.netflowV9Recs(packets)
+      .select(col("exporter"), col("template_id").as("templateId"), col("seq"),
+        col("is_template").as("isTemplate"), col("widths"), col("payload"),
+        col("max_recs").as("maxRecs"))
+      .as[NfRec]
+    val out = Templates.decodeBatch(recs).collect()
+      .map(d => d.seq -> (d.decoded, d.fields.toList)).toMap
+    assert(out(2L) === (true, List(0xaaL, 1000000L)))
+  }
+
   test("streaming: template from batch 1 decodes data arriving in batch 2 (state persists)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[NfRec]

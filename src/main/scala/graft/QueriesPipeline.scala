@@ -428,6 +428,23 @@ object QueriesPipeline {
           length(col("log")).cast("long").as("n_bytes"), col("ts_ns"))
     }),
 
+    // REAL .pcap file scan: staged capture files read through binaryFile,
+    // pcap global-header validation + per-packet walk + eth/ip/udp peel +
+    // cflow-port filter, then the NetFlow v5 byte decode — every 13th
+    // packet targets a non-cflow port and must be dropped by the reader
+    "f03_pcap_scan" -> ((s, dir) => {
+      val path = graft.sources.Pcap.stage(s, dir)
+      val files = s.read.format("binaryFile").load(path)
+      graft.operators.BinaryDecode.pcapNetflowV5Payloads(files)
+        .withColumn("o5", graft.operators.BinaryDecode.netflowV5(col("nf")))
+        .where(col("o5.ok"))
+        .select(col("o5.sys_uptime").as("did"), col("o5.version").as("version"),
+          col("cap_sec"), col("o5.unix_secs").as("unix_secs"),
+          graft.operators.BinaryDecode.ipv4String(col("o5.srcaddr")).as("src_ip"),
+          col("o5.src_port").as("src_port"), col("o5.dst_port").as("dst_port"),
+          col("o5.d_octets").as("d_octets"))
+    }),
+
     // Smtp layout: comma-split recipient array with '-' sentinel → []
     "p25_parse_smtp" -> ((s, dir) => {
       val did = col("did")
@@ -745,6 +762,20 @@ object QueriesPipeline {
         |  cast(1024 + did % 60000 AS int) AS port,
         |  'm' || lpad(cast(1 + did % 12 AS varchar), 2, '0') || lpad(cast(10 + did % 19 AS varchar), 2, '0') AS msg
         |FROM v2""".stripMargin),
+
+    "f03_pcap_scan" -> withCtes(V2Cte)(
+      """SELECT did, cast(5 AS bigint) AS version,
+        |  1700000000 + did % 1000 AS cap_sec,
+        |  cast(1700000000 + did % 1000 AS bigint) AS unix_secs,
+        |  cast(cast(floor(sa/16777216) AS bigint) % 256 AS varchar) || '.' ||
+        |    cast(cast(floor(sa/65536) AS bigint) % 256 AS varchar) || '.' ||
+        |    cast(cast(floor(sa/256) AS bigint) % 256 AS varchar) || '.' ||
+        |    cast(sa % 256 AS varchar) AS src_ip,
+        |  cast(1024 + did % 60000 AS bigint) AS src_port,
+        |  cast(443 AS bigint) AS dst_port,
+        |  cast(did % 4294967296 AS bigint) AS d_octets
+        |FROM (SELECT *, (did * 2654435761) % 4294967296 AS sa FROM v2)
+        |WHERE did % 13 <> 0""".stripMargin),
 
     "f02_raw_log_sink" -> withCtes(V2Cte)(
       """SELECT 'applog' AS kind,

@@ -128,6 +128,49 @@ object BinaryDecode {
         "field_types", "payload", "max_recs")
   }
 
+  /** Little-endian unsigned int at a dynamic 1-based offset (pcap headers
+    * are LE while network payloads are BE).
+    */
+  def leUintAt(bin: Column, pos: Column, len: Int): Column =
+    (0 until len).map(i => beUintAt(bin, pos + i, 1) * lit(1L << (8 * i))).reduce(_ + _)
+
+  /** pcap FILE framing, pure Catalyst over `binaryFile` content: validate
+    * the little-endian global header (magic a1b2c3d4, linktype 1 =
+    * Ethernet — the reference rejects other link types,
+    * src/collector/netflow.rs:59), walk the per-packet records via their
+    * incl_len chain, then peel Ethernet(14)+IPv4(20)+UDP(8) and keep only
+    * cflow-port datagrams (CFLOW_UDP_PORTS filter —
+    * src/parser/netflow/packet.rs:20,253). Output: one row per accepted
+    * packet with the NetFlow payload in `nf` plus the capture timestamp.
+    */
+  def pcapNetflowV5Payloads(files: org.apache.spark.sql.DataFrame,
+                            maxPackets: Int = 4): org.apache.spark.sql.DataFrame = {
+    // NOTE: each offset level embeds the previous offset expression several
+    // times (incl_len is read at a dependent position), so the tree grows
+    // ~5× per level — keep maxPackets small; for deeper captures, split
+    // files or move the walk into a typed map
+    require(maxPackets <= 5, "offset-chain expression grows ~5x per level")
+    val c = col("content")
+    val offsets = Iterator.iterate(lit(25L).cast("long"), maxPackets)(o =>
+      o + 16L + leUintAt(c, (o + 8).cast("int"), 4)).toSeq
+    val pkStructs = offsets.map(o => struct(o.as("off"), (length(c) >= o + 15).as("valid")))
+    val base = files
+      .where(lower(hex(substring(c, 1, 4))) === "d4c3b2a1" &&
+        leUintAt(c, lit(21), 4) === 1L)
+      .withColumn("pk", explode(array(pkStructs: _*)))
+      .where(col("pk.valid"))
+      .withColumn("o", col("pk.off").cast("int"))
+    val inclLen = leUintAt(c, col("o") + 8, 4)
+    val data = col("o") + 16
+    base
+      .withColumn("cap_sec", leUintAt(c, col("o"), 4))
+      .where(beUintAt(c, data + 12, 2) === 0x0800L &&   // ethertype IPv4
+        beUintAt(c, data + 23, 1) === 17L &&            // IP proto UDP
+        beUintAt(c, data + 36, 2) === 2055L)            // cflow dst port
+      .withColumn("nf", c.substr(data + 42, (inclLen - 42).cast("int")))
+      .select(col("path"), col("cap_sec"), col("nf"))
+  }
+
   /** Dotted-quad string from a u32 address (reference renders IpAddr —
     * src/parser/netflow/fields.rs).
     */

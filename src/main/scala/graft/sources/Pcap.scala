@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real .pcap FILE staging for the pcap-scan coverage (reference
+  * src/collector/netflow.rs:58-66 opens pcap files, Ethernet link type
+  * only; its own test fixture writer :320-344 is the byte-layout source):
+  * little-endian global header (magic a1b2c3d4, v2.4, snaplen, linktype=1)
+  * then per packet (ts_sec, ts_usec, incl_len, orig_len LE) + Ethernet(14)
+  * + IPv4(20, proto=UDP) + UDP(8, dst port 2055 = cflow) + the NetFlow
+  * payload. Every 13th packet is addressed to a non-cflow port and must be
+  * skipped by the reader (the reference's CFLOW_UDP_PORTS filter,
+  * parser/netflow/packet.rs:253).
+  *
+  * The staging write (collect + Files.write) is FIXTURE GENERATION —
+  * a handful of tiny files per scale factor; the measured operator is the
+  * binaryFile read + Catalyst framing in BinaryDecode.pcapNetflowV5Payloads.
+  */
+object Pcap {
+
+  private def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
+  private def idiv(a: Column, b: Long): Column = floor(a / lit(b)).cast("long")
+
+  /** Little-endian hex of a u32 value. */
+  private def leHex4(v: Column): Column = concat(
+    hexN(v % 256, 2), hexN(idiv(v, 256L) % 256, 2),
+    hexN(idiv(v, 65536L) % 256, 2), hexN(idiv(v, 16777216L) % 256, 2))
+
+  val GlobalHeaderHex: String =
+    "d4c3b2a1" + "0200" + "0400" + "00000000" + "00000000" + "ffff0000" + "01000000"
+
+  /** One captured packet (pcap record header + eth/ip/udp + NetFlow v5
+    * payload in this engine's 12-byte-header layout), as hex, for doc
+    * `did`.
+    */
+  def packetHex(did: Column): Column = {
+    val secs = lit(1700000000L) + did % 1000L
+    val nf = concat(
+      hexN(lit(5L), 4), hexN(lit(1L), 4),
+      hexN(did, 8),                                   // sys_uptime carries did
+      hexN(secs, 8),
+      hexN((did * 2654435761L) % 4294967296L, 8),
+      hexN(lit(1024L) + did % 60000L, 4),
+      hexN(lit(443L), 4),
+      hexN(did % 4294967296L, 8))
+    val dstPort = when(did % 13 === 0, lit(9999L)).otherwise(lit(2055L))
+    val udp = concat(lit("0c00"), hexN(dstPort, 4), lit("0020"), lit("0000"))
+    val ip = concat(lit("45000034000000004011" + "0000" + "0a000001" + "0a000002"))
+    val eth = lit("000000000001" + "000000000002" + "0800")
+    val recHdr = concat(leHex4(secs), leHex4(lit(0L)), leHex4(lit(66L)), leHex4(lit(66L)))
+    concat(recHdr, eth, ip, udp, nf)
+  }
+
+  /** Stage .pcap files (4 packets per file) under target/stage and return
+    * the directory path.
+    */
+  def stage(spark: SparkSession, sfDir: String): String = {
+    val did = col("doc_id")
+    val perFile = Tables.documents(spark, sfDir)
+      .select(idiv(did, 4L).as("fid"), did.as("did"), packetHex(did).as("ph"))
+      .groupBy("fid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("did"), col("ph")))),
+        s => s.getField("ph")), "").as("body"))
+      .select(col("fid"), concat(lit(GlobalHeaderHex), col("body")).as("fhex"))
+    val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+    val dir = new java.io.File(s"target/stage/pcap_$tag")
+    dir.mkdirs()
+    perFile.collect().foreach { r =>
+      val bytes = r.getString(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"f${r.getLong(0)}%06d.pcap").toPath, bytes)
+    }
+    dir.getPath
+  }
+}

@@ -52,10 +52,14 @@ object Pipeline {
       sum(when(!col("parse_ok"), 1L).otherwise(0L)).as("failed"))
 
     val table = new SinkTable(outBase)
+    // quarantined rows keep the WHOLE line as bytes — the reference's raw-log
+    // fallback record (Log{kind, log bytes} — src/collector/log.rs:129-149);
+    // parsed sinks carry null here (columnar: costs nothing when absent)
     val slim = observed.select(
       col("doc_id"), col("tokens"), col("n_tok"), col("source"), col("line_no"),
       col("ts_ns"), col("level"), col("src_ip"), col("status_code"),
       col("vendor"), col("log_type"), col("version"), col("bytes"),
+      when(col("sink") === Route.Quarantine, encode(col("raw_line"), "UTF-8")).as("raw_log"),
       col("parse_ok"), col("sink"))
     table.appendResumable(
       slim.repartition(col("sink"), pmod(xxhash64(col("doc_id")), lit(8))), commitId)

@@ -75,6 +75,12 @@ class PipelineSpec extends SparkSpec {
     val q = new SinkTable(out).read(spark).where(col("sink") === "quarantine")
     assert(q.count() > 0)
     assert(q.where(col("line_no") % 97 =!= 0).count() === 0L)
+    // raw-log fallback: every quarantined row keeps its whole line as bytes
+    // (Log{kind, log} — reference log.rs:129-149); parsed sinks carry null
+    assert(q.where(col("raw_log").isNull).count() === 0L)
+    assert(q.where(decode(col("raw_log"), "UTF-8").startsWith("CORRUPT")).count() === q.count())
+    val ok = new SinkTable(out).read(spark).where(col("sink") =!= "quarantine")
+    assert(ok.where(col("raw_log").isNotNull).count() === 0L)
   }
 
   test("entry() returns non-empty flagship result") {

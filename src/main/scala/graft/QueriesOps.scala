@@ -80,6 +80,13 @@ object QueriesOps {
         .select(col("id_a"), col("id_b"),
           round(col("cos") * 1e6).cast("long").as("cos_e6"))),
 
+    // duplicate-cluster assignment: connected components over the LSH
+    // candidate pairs via distributed min-label propagation — the step that
+    // turns pairwise candidates into keep-one-per-component dedup decisions
+    "d09_dup_clusters" -> ((s, dir) =>
+      DedupOps.duplicateClusters(
+        DedupOps.lshCandidates(shingled(s, dir), "sid", col("stoks"), k = 16, r = 4))),
+
     "a01_ann_brute" -> ((s, dir) =>
       Ann.bruteForceTopK(emb(s, dir), col("vec_id") < 10, k = 5)
         .select(col("q_id"), col("c_id"),
@@ -229,6 +236,20 @@ object QueriesOps {
         |  GROUP BY 1, 2) i
         |JOIN (SELECT sid, count(*) AS sz FROM (SELECT sid, unnest(stoks) FROM shingd) GROUP BY 1) x ON i.doc_a = x.sid
         |JOIN (SELECT sid, count(*) AS sz FROM (SELECT sid, unnest(stoks) FROM shingd) GROUP BY 1) y ON i.doc_b = y.sid""".stripMargin),
+
+    // transitive closure via recursive CTE: every label reachable over the
+    // symmetric edge set; min per node = its component representative
+    "d09_dup_clusters" -> ("WITH RECURSIVE " +
+      Seq(ShingCte, SigCte, BandsCte, PairsCte).mkString(",\n") +
+      """,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM spairs
+        |  UNION ALL SELECT doc_b, doc_a FROM spairs),
+        |reach(sid, l) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.l FROM reach JOIN edges e ON e.src = reach.sid)
+        |SELECT sid, min(l) AS cluster FROM reach GROUP BY sid""".stripMargin),
 
     "d05_simhash" -> withCtes(ToksCte)({
       val sums = (0 until 16).map(b =>

@@ -168,6 +168,42 @@ object DedupOps {
       .otherwise(array().cast("array<int>"))
   }
 
+  /** Connected components over candidate pairs — the clustering step a real
+    * dedup pipeline runs after LSH (keep one representative per component,
+    * not per pair). Distributed min-label propagation: every node starts as
+    * its own label; each round joins labels across (symmetric) edges and
+    * keeps the minimum; stops at fixpoint. Rounds ≈ graph diameter (near-dup
+    * components are shallow); each round is one shuffle join + one
+    * aggregate — no driver-side graph state, only the convergence check
+    * (a count) leaves the cluster. pairs: (doc_a, doc_b) with doc_a < doc_b.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // persist the edge list: every round re-joins it, and its lineage is the
+    // whole LSH pipeline — without the cache each round would re-shingle
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("sid")).distinct()
+    var labels = nodes.withColumn("lbl", col("sid"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges.join(labels, edges("src") === labels("sid"))
+        .select(col("dst").as("sid"), col("lbl"))
+      val next = labels.select("sid", "lbl").union(viaEdges)
+        .groupBy("sid").agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "sid")
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("sid"), col("lbl").as("cluster"))
+  }
+
   /** Embedding cosine near-duplicates with sorted-neighborhood blocking:
     * candidate pairs are limited to ids within `window` of each other inside
     * a label block — linear candidate count, no n² cross join. Cosine is a

@@ -36,6 +36,15 @@ class OpsSpec extends SparkSpec {
     assert(sig(1L) !== sig(3L))
   }
 
+  test("duplicateClusters: chains collapse to one component, islands stay apart") {
+    // graph: 1-2, 2-3, 3-4 (one chain) and 7-8 (island)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val c = DedupOps.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(c(_) == 1L))
+    assert(c(7L) === 7L && c(8L) === 7L)
+    assert(c.size === 6)
+  }
+
   test("jaccard: identical docs → 1.0, disjoint docs absent") {
     val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(1, 2, 3)), (3L, Seq(9, 10, 11)))
       .toDF("sid", "toks")

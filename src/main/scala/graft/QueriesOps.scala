@@ -120,6 +120,30 @@ object QueriesOps {
         TextOps.wordCount(col("text")).as("ws_tokens"),
         TextOps.regexTokenCount(col("text")).as("re_tokens"))),
 
+    // canonical normalization (lowercase, strip punct band, collapse ws):
+    // decorated synthetic input, oracle re-derives the normalized form
+    // arithmetically — a normalization bug cannot self-confirm
+    "t05_normalize" -> ((s, dir) => {
+      val raw = concat(lit("  The,  QUICK brown.fox!  run#"),
+        col("did").cast("string"), lit("  (END)  "))
+      Tables.rawEvents2(s, dir).select(col("doc_id"),
+        TextOps.normalizeText(raw).as("norm"))
+    }),
+
+    // PII scrub: email + dotted-quad masking; 3-octet version strings must
+    // survive (the mask is 4-octet-bounded)
+    "t06_scrub" -> ((s, dir) => {
+      val did = col("did")
+      val raw = when(did % 4 === 0,
+        concat(lit("release v1.2."), (did % 9).cast("string"), lit(" is clean")))
+        .otherwise(concat(lit("contact user"), (did % 50).cast("string"),
+          lit("@example.com or 10.1."), (did % 250).cast("string"), lit("."),
+          (did % 200 + 1).cast("string"), lit(" port 443 v1.2."),
+          (did % 9).cast("string")))
+      Tables.rawEvents2(s, dir).select(col("doc_id"),
+        TextOps.scrubPii(raw).as("scrubbed"))
+    }),
+
     // custom codegen Expression — verified in ScalaTest vs a Scala oracle;
     // rows-only check from the driver (not SQL-expressible in DuckDB 1.0)
     "t04_fingerprint_roll" -> ((s, dir) => {
@@ -335,6 +359,17 @@ object QueriesOps {
          |  ) AS bigint) AS quality
          |FROM documents""".stripMargin
     },
+
+    "t05_normalize" -> withCtes(V2Cte)(
+      "SELECT doc_id, 'the quick brownfox run#' || cast(did AS varchar) || ' end' AS norm FROM v2"),
+
+    "t06_scrub" -> withCtes(V2Cte)(
+      """SELECT doc_id,
+        |  CASE WHEN did % 4 = 0
+        |    THEN 'release v1.2.' || cast(did % 9 AS varchar) || ' is clean'
+        |    ELSE 'contact <EMAIL> or <IP> port 443 v1.2.' || cast(did % 9 AS varchar)
+        |  END AS scrubbed
+        |FROM v2""".stripMargin),
 
     "t03_tokcount" ->
       """SELECT doc_id AS did,

@@ -57,6 +57,22 @@ object TextOps {
     floor(lenBand + shapeBand + stopBand - punct * 100.0).cast("long")
   }
 
+  /** Canonical text normalization (the pre-dedup step of web-corpus
+    * pipelines): lowercase, strip the punctuation band, collapse whitespace
+    * runs, trim. Pure codegen'd string ops.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(translate(lower(text), ".,!?;:'\"()", ""), " +", " "))
+
+  /** PII scrub: mask email-shaped tokens and dotted-quad IPs (the two
+    * patterns a log-derived corpus leaks most). Conservative character
+    * classes shared by Java and RE2-style engines so the SQL twin matches.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+
   /** Position-weighted token fingerprint: Σ tokens[i]·(i+1) mod 1e9+7 —
     * order-sensitive, overflow-free (tokens < 2^15, positions < 2^20), and
     * exactly computable in SQL via an indexed list transform. A stronger

@@ -73,6 +73,19 @@ object StreamPipeline {
       .start()
   }
 
+  /** Streaming exact dedup bounded by a watermark: duplicate (key) arrivals
+    * within the watermark horizon are dropped, state is evicted past it —
+    * the streaming analog of the batch exact-dedup family, with bounded
+    * state (an unbounded dropDuplicates would grow state forever at
+    * 100 TB/day ingest).
+    */
+  def dedupWithinWatermark(parsed: DataFrame, keyCols: Seq[String],
+                           watermark: String = "30 seconds"): DataFrame =
+    parsed
+      .withColumn("event_ts", timestamp_micros(expr("ts_raw_ns div 1000")))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Event-time windowed per-kind aggregate with a watermark — the streaming
     * analog of the per-run report (SURVEY.md §2.5) with late-data bounds the
     * reference never had.

@@ -90,4 +90,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach { case (k, v) => assert(exp.get(k).contains(v), s"window $k mismatch") }
   }
+
+  test("streaming dedup within watermark drops duplicate keys, bounded state") {
+    val in = tmp("graft-stream-in5")
+    // stage the same rows TWICE — every key arrives duplicated
+    stage(in, "line_no >= 0")
+    stage(in, "line_no >= 0")
+    val parsed = StreamPipeline.transform(
+      StreamPipeline.readRaw(spark, in, maxFilesPerTrigger = 16))
+    val q = StreamPipeline.dedupWithinWatermark(parsed, Seq("doc_id")).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val total = Tables.rawEvents(spark, Sf).count()
+    val got = spark.table("dedup_out")
+    assert(got.count() === total, "each duplicated key must survive exactly once")
+    assert(got.groupBy("doc_id").count().where(col("count") > 1).count() === 0L)
+  }
 }

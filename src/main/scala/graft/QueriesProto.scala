@@ -27,7 +27,8 @@ object QueriesProto {
   val all: Seq[(String, Positional.Proto)] =
     numbered("g", Positional.giganto) ++
       numbered("y", Positional.sysmon14) ++
-      numbered("z", Positional.zeekP)
+      numbered("z", Positional.zeekP) ++
+      numbered("w", Positional.sysmonCsv)
 
   val queries: Seq[(String, QFn)] = all.map { case (qname, proto) =>
     qname -> ((s: SparkSession, dir: String) =>

@@ -33,6 +33,10 @@ object Positional {
   case object PQtype extends FType           // DNS qtype name → u16 (network.rs:2895)
   case object PTuples extends FType          // "(a,b,..),(c,d,..)" tuple-list blob
                                              // (giganto_import.rs:77-90)
+  case object PTsSysmonMs extends FType      // "yyyy-MM-dd HH:mm:ss.SSS" UTC → ns
+                                             // (sysmon_csv.rs:310-327)
+  case object PHexId extends FType           // 0x… hex id → long
+                                             // (sysmon_csv/process_create.rs:87-96)
 
   final case class Field(name: String, t: FType)
 
@@ -72,6 +76,10 @@ object Positional {
         when(raw === name, lit(code)).otherwise(acc)
       }.cast("int")
     case PTuples => when(raw === "-", lit("")).otherwise(raw)
+    case PTsSysmonMs =>
+      unix_micros(to_timestamp(raw, "yyyy-MM-dd HH:mm:ss.SSS")) * lit(1000L)
+    case PHexId =>
+      org.apache.spark.sql.functions.conv(regexp_replace(raw, "^0x", ""), 16, 10).cast("long")
   }
 
   /** DNS qtype name → code, the common subset of the reference's table
@@ -384,6 +392,84 @@ object Positional {
       F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
       F("tamper_type", PStr), F("user_s", PStr))),
     Proto("y_file_delete_detected", yHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("user_s", PStr),
+      F("image", PStr), F("target_filename", PStr), F("hashes", PStrArr),
+      F("is_executable", PBoolWord))))
+
+  /** Sysmon CSV common prefix (sysmon_csv impls: agent_name/agent_id at
+    * 0/1, index 2 skipped, sysmon-ms UTC timestamp at 3).
+    */
+  private val wHead: Seq[Field] = Seq(
+    F("agent_name", PStr), F("agent_id", PStr), F("skip2", PStr),
+    F("ts_ns", PTsSysmonMs))
+
+  /** The 14 sysmon CSV event types (the reference's OTHER sysmon family —
+    * sysmon_csv/{process_create,…}.rs — distinct field order and timestamp
+    * format from the giganto-import sysmon layouts above).
+    */
+  val sysmonCsv: Seq[Proto] = Seq(
+    Proto("w_process_create", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("file_version", PStr), F("description", PStr), F("product", PStr),
+      F("company", PStr), F("original_file_name", PStr), F("command_line", PStr),
+      F("current_directory", PStr), F("user_s", PStr), F("logon_guid", PStr),
+      F("logon_id", PHexId), F("terminal_session_id", PLong),
+      F("integrity_level", PStr), F("hashes", PStrArr),
+      F("parent_process_guid", PStr), F("parent_process_id", PLong),
+      F("parent_image", PStr), F("parent_command_line", PStr),
+      F("parent_user", PStr))),
+    Proto("w_file_create_time", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("target_filename", PStr), F("creation_utc_time", PTsSysmonMs),
+      F("previous_creation_utc_time", PTsSysmonMs), F("user_s", PStr))),
+    Proto("w_network_connect", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("user_s", PStr), F("protocol", PStr), F("initiated", PBoolWord),
+      F("source_is_ipv6", PBoolWord), F("source_ip", PIp),
+      F("source_hostname", PStr), F("source_port", PInt),
+      F("source_port_name", PStr), F("destination_is_ipv6", PBoolWord),
+      F("destination_ip", PIp), F("destination_hostname", PStr),
+      F("destination_port", PInt), F("destination_port_name", PStr))),
+    Proto("w_process_terminate", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("user_s", PStr))),
+    Proto("w_image_load", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("image_loaded", PStr), F("file_version", PStr), F("description", PStr),
+      F("product", PStr), F("company", PStr), F("original_file_name", PStr),
+      F("hashes", PStrArr), F("signed", PBoolWord), F("signature", PStr),
+      F("signature_status", PStr), F("user_s", PStr))),
+    Proto("w_file_create", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("target_filename", PStr), F("creation_utc_time", PTsSysmonMs),
+      F("user_s", PStr))),
+    Proto("w_registry_value_set", wHead ++ Seq(
+      F("event_type", PStr), F("process_guid", PStr), F("process_id", PLong),
+      F("image", PStr), F("target_object", PStr), F("details", PStr),
+      F("user_s", PStr))),
+    Proto("w_registry_key_rename", wHead ++ Seq(
+      F("event_type", PStr), F("process_guid", PStr), F("process_id", PLong),
+      F("image", PStr), F("target_object", PStr), F("new_name", PStr),
+      F("user_s", PStr))),
+    Proto("w_file_create_stream_hash", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("target_filename", PStr), F("creation_utc_time", PTsSysmonMs),
+      F("hash", PStrArr), F("contents", PStr), F("user_s", PStr))),
+    Proto("w_pipe_event", wHead ++ Seq(
+      F("event_type", PStr), F("process_guid", PStr), F("process_id", PLong),
+      F("pipe_name", PStr), F("image", PStr), F("user_s", PStr))),
+    Proto("w_dns_query", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("query_name", PStr),
+      F("query_status", PLong), F("query_results", PStrArr), F("image", PStr),
+      F("user_s", PStr))),
+    Proto("w_file_delete", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("user_s", PStr),
+      F("image", PStr), F("target_filename", PStr), F("hashes", PStrArr),
+      F("is_executable", PBoolWord), F("archived", PStr))),
+    Proto("w_process_tamper", wHead ++ Seq(
+      F("process_guid", PStr), F("process_id", PLong), F("image", PStr),
+      F("tamper_type", PStr), F("user_s", PStr))),
+    Proto("w_file_delete_detected", wHead ++ Seq(
       F("process_guid", PStr), F("process_id", PLong), F("user_s", PStr),
       F("image", PStr), F("target_filename", PStr), F("hashes", PStrArr),
       F("is_executable", PBoolWord))))

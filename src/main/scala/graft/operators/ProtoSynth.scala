@@ -76,6 +76,13 @@ object ProtoSynth {
         lit(",100,id"), istr(did % 9L),
         lit("),(RETR,230,done,false,10.0.0.3,10.0.0.4,2020,g"), istr((did + i) % 9L),
         lit(",200,id2)")))
+    case PTsSysmonMs =>
+      concat(lit("2023-"), mo(did), lit("-"), dy(did), lit(" "),
+        hh(did), lit(":"), mi(did), lit(":"), ss(did), lit("."),
+        lpad(istr(did % 1000L), 3, "0"))
+    case PHexId =>
+      // decimal digits read as base-16, the p18/reference hex-conv shape
+      concat(lit("0x"), lpad(istr(did % 100000L), 5, "0"))
   }
 
   /** DuckDB SQL (over alias `did`, plus `mo/dy/hh/mi/ss` from V2Cte) for the
@@ -108,6 +115,13 @@ object ProtoSynth {
       Seq(name -> s"cast(CASE (did + $i) % 8 $arms END AS int)")
     case PDurSecs => Seq(name ->
       "CASE WHEN did % 5 = 0 THEN 0 ELSE (did % 100)*1000000000 + 500000000 END")
+    case PTsSysmonMs => Seq(name ->
+      "(epoch_us(make_timestamp(2023, mo, dy, hh, mi, cast(ss AS double))) + (did % 1000)*1000)*1000")
+    case PHexId =>
+      val fold = (1 to 5).foldLeft("cast(0 AS bigint)") { (acc, k) =>
+        s"($acc*16 + (ascii(substr(lpad(cast(did % 100000 AS varchar),5,'0'),$k,1))-48))"
+      }
+      Seq(name -> fold)
     case PTuples => Seq(
       s"${name}_raw" ->
         (s"CASE WHEN (did + $i) % 3 = 0 THEN '' ELSE " +

@@ -51,14 +51,23 @@ class PositionalSpec extends SparkSpec {
     assert(Positional.registry.values.map(_.fields.map(_.name)).toSet.size === 12)
   }
 
-  test("faithful families: 20 giganto + 14 sysmon + 12 zeek, unique field names") {
+  test("faithful families: 20 giganto + 14 sysmon + 12 zeek + 14 sysmon-csv, unique field names") {
     assert(Positional.giganto.size === 20)
     assert(Positional.sysmon14.size === 14)
     assert(Positional.zeekP.size === 12)
-    (Positional.giganto ++ Positional.sysmon14 ++ Positional.zeekP).foreach { p =>
-      val names = p.fields.map(_.name)
-      assert(names.distinct.size === names.size, s"${p.name} has duplicate field names")
-    }
+    assert(Positional.sysmonCsv.size === 14)
+    (Positional.giganto ++ Positional.sysmon14 ++ Positional.zeekP ++ Positional.sysmonCsv)
+      .foreach { p =>
+        val names = p.fields.map(_.name)
+        assert(names.distinct.size === names.size, s"${p.name} has duplicate field names")
+      }
+  }
+
+  test("sysmon-csv types: ms timestamp and 0x hex id decode") {
+    val p = Proto("t3", Seq(Field("ts_ns", PTsSysmonMs), Field("lid", PHexId)))
+    val r = parse(p, "2023-01-10 00:00:00.250\t0x000ff")
+    assert(r.getAs[Long]("ts_ns") === 1673308800250000000L)
+    assert(r.getAs[Long]("lid") === 255L)
   }
 
   test("variable-width sec.frac: digit-scaled, not fixed-micros") {

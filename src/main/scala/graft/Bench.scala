@@ -20,7 +20,13 @@ object Bench {
     // doesn't absorb bootstrap cost
     try SparkEntry.queries("p02_tokens_full")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated prefix filter for local diagnosis (the driver
+    // sets no filter and times everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val picked = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -34,7 +40,8 @@ object Bench {
     // regime N=1 — per-core DRAM bandwidth not yet saturated; full curve in
     // BENCH.md). ~40 s.
     val scaling =
-      try {
+      if (only.nonEmpty) ""
+      else try {
         val (thrN, thr4N) = ScalingBench.probe(nSmall = 1, rows = 4000000L)
         val eff = (thr4N / thrN) / 4.0
         f""","scaling":{"rows":4000000,"n_cores":1,"n_seq_per_sec":${thrN.toLong},"4n_cores":4,"4n_seq_per_sec":${thr4N.toLong},"efficiency":$eff%.3f}"""

@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("p14_pipeline", "q05_broadcast", "d03_lsh_pairs", "p06_parse_zeek", "e02_top_purchasers")
+      else Seq("p14_pipeline", "q05_broadcast", "d03_lsh_pairs", "p06_parse_zeek",
+        "e02_top_purchasers", "a04_ann_sketch", "g02_dns", "p27_netflow_v9")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -60,7 +60,9 @@ object QueriesOps {
       DedupOps.lshCandidates(shingled(s, dir), "sid", col("stoks"), k = 16, r = 4)),
 
     "d04_lsh_jaccard" -> ((s, dir) => {
-      val sh = shingled(s, dir)
+      // the shingle hash is an interpreted HOF and this query consumes the
+      // shingled table TWICE (banding + verification) — materialize once
+      val sh = shingled(s, dir).localCheckpoint(true)
       val pairs = DedupOps.lshCandidates(sh, "sid", col("stoks"), k = 16, r = 4)
       DedupOps.jaccard(sh, "sid", col("stoks"), pairs)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"),

@@ -56,6 +56,19 @@ object Pcap {
     * the directory path.
     */
   def stage(spark: SparkSession, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+    val dir = new java.io.File(s"target/stage/pcap_$tag")
+    dir.mkdirs()
+    // idempotent: skip the whole staging job when this layout version is
+    // already on disk for this sf (the marker pins the synth version, so a
+    // layout change invalidates stale fixtures; `_`-prefixed files are
+    // hidden from Spark's file index, like _SUCCESS)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val spec = s"pcap-v2:${(nDocs + 3) / 4}"
+    val marker = new java.io.File(dir, "_spec.txt")
+    if (marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == spec)
+      return dir.getPath
     val did = col("doc_id")
     val perFile = Tables.documents(spark, sfDir)
       .select(idiv(did, 4L).as("fid"), did.as("did"), packetHex(did).as("ph"))
@@ -64,14 +77,12 @@ object Pcap {
         array_sort(collect_list(struct(col("did"), col("ph")))),
         s => s.getField("ph")), "").as("body"))
       .select(col("fid"), concat(lit(GlobalHeaderHex), col("body")).as("fhex"))
-    val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
-    val dir = new java.io.File(s"target/stage/pcap_$tag")
-    dir.mkdirs()
     perFile.collect().foreach { r =>
       val bytes = r.getString(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
       java.nio.file.Files.write(
         new java.io.File(dir, f"f${r.getLong(0)}%06d.pcap").toPath, bytes)
     }
+    java.nio.file.Files.write(marker.toPath, spec.getBytes)
     dir.getPath
   }
 }

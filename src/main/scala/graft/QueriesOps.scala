@@ -379,6 +379,25 @@ object QueriesOps {
         |  cast(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS bigint) AS re_tokens
         |FROM documents""".stripMargin,
 
+    // the custom codegen Expression's rolling hash, re-derived in SQL via
+    // list_reduce — upgrades t04 from rows-only to a full oracle row
+    "t04_fingerprint_roll" -> withCtes(ToksCte)(
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(cast(0 AS bigint), list_transform(tokens, t -> cast(t AS bigint))),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS fp_roll
+        |FROM toks""".stripMargin),
+
+    // mapPartitions byte-checksum twin: fold over the UTF-8 payload bytes
+    // (synthetic text is ASCII, so ascii(char) == byte value)
+    "m03_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+        |  list_reduce(list_prepend(cast(0 AS bigint),
+        |      list_transform(range(1, length(text)+1), i -> cast(ascii(substr(text, cast(i AS int), 1)) AS bigint))),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS checksum
+        |FROM documents""".stripMargin,
+
     "m01_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

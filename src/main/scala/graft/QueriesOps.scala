@@ -190,6 +190,22 @@ object QueriesOps {
         .select(col("seq_id"), md5(concat_ws(",", col("tokens"))).as("tok_md5"),
           col("n_docs"))),
 
+    // end-to-end curation composition: exact-dedup the duplicated corpus,
+    // re-tokenize the survivors, pack into fixed 512-token training
+    // sequences — the full curate→tokenize→pack chain in one plan; the
+    // oracle recomputes the whole chain independently, so a bug at any
+    // stage (dedup keeping a copy, offset drift in packing) diverges
+    "k02_curate_pack" -> ((s, dir) => {
+      val kept = DedupOps.exactDedup(docsWithDups(s, dir))
+      val toks = transform(Tables.wordsCol(col("text")), Tables.wordToken _)
+      val t = kept.select(
+        concat(lit("doc-"), lpad(col("doc_id").cast("string"), 12, "0")).as("doc_id"),
+        toks.as("tokens"), size(toks).as("n_tok"))
+      graft.ops.Packing.pack(t, seqLen = 512)
+        .select(col("seq_id"), md5(concat_ws(",", col("tokens"))).as("tok_md5"),
+          col("n_docs"))
+    }),
+
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
     // engines' differing round-half modes). The quantized vector is emitted
@@ -451,6 +467,31 @@ object QueriesOps {
         |         OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 600000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events))""".stripMargin,
+
+    "k02_curate_pack" -> withCtes(DupCte,
+      """kept AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM dd) WHERE rn = 1)""".stripMargin,
+      """ktoks AS (
+        |  SELECT 'doc-' || lpad(cast(doc_id AS varchar), 12, '0') AS doc_id,
+        |    list_transform(list_filter(string_split(text, ' '), w -> length(w) > 0),
+        |      w -> cast(((ascii(w)*59 + ascii(substr(w, cast(length(w) AS int), 1)))*31 + length(w)) % 32768 AS int)) AS tokens
+        |  FROM kept)""".stripMargin)(
+      """SELECT seq_id,
+        |  md5(array_to_string(list_transform(list(utok ORDER BY gpos), t -> cast(t AS varchar)), ',')) AS tok_md5,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM (
+        |  SELECT doc_id, cast(floor(gpos/512) AS bigint) AS seq_id, gpos, utok FROM (
+        |    SELECT doc_id, tok_offset + upos AS gpos, utok FROM (
+        |      SELECT doc_id, tok_offset, unnest(tokens) AS utok,
+        |        unnest(range(len(tokens))) AS upos
+        |      FROM (
+        |        SELECT doc_id, tokens,
+        |          coalesce(sum(len(tokens)) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |        FROM ktoks))))
+        |GROUP BY 1 HAVING count(*) = 512""".stripMargin),
 
     "k01_pack" -> withCtes(ToksCte)(
       """SELECT seq_id,

@@ -445,6 +445,28 @@ object QueriesPipeline {
           col("o5.d_octets").as("d_octets"))
     }),
 
+    // REAL sysmon CSV file scan WITH a header row (the reference's reader
+    // config: tab-separated, header present — sysmon_csv.rs:334-341): the
+    // csv reader pre-splits and skips the header, then the schema-driven
+    // typed decode runs over the pre-split columns
+    "f04_file_sysmon" -> ((s, dir) => {
+      val proto = graft.operators.Positional.sysmonCsv.head // w_process_create
+      val data = Tables.rawEvents2(s, dir)
+        .select(graft.operators.ProtoSynth.line(proto, col("did")).as("value"))
+      val n = proto.fields.length
+      val header = (0 until n).map(i => s"c$i").mkString("\t")
+      val path = graft.operators.RawLog.stageWithHeader(data, header, "sysmon_csv", dir)
+      val schema = (0 until n).map(i => s"c$i STRING").mkString(", ")
+      val o = graft.operators.Positional.fromColumns(proto, i => s"c$i")
+      s.read.option("sep", "\t").option("header", "true").schema(schema).csv(path)
+        .select(o.as("o")).where(col("o.ok"))
+        .select(col("o.ts_ns").as("ts_ns"), col("o.process_guid").as("process_guid"),
+          col("o.process_id").as("process_id"), col("o.image").as("image"),
+          col("o.logon_id").as("logon_id"),
+          concat_ws(",", col("o.hashes")).as("hashes_csv"),
+          col("o.parent_image").as("parent_image"))
+    }),
+
     // Smtp layout: comma-split recipient array with '-' sentinel → []
     "p25_parse_smtp" -> ((s, dir) => {
       val did = col("did")
@@ -776,6 +798,17 @@ object QueriesPipeline {
         |  cast(did % 4294967296 AS bigint) AS d_octets
         |FROM (SELECT *, (did * 2654435761) % 4294967296 AS sa FROM v2)
         |WHERE did % 13 <> 0""".stripMargin),
+
+    "f04_file_sysmon" -> {
+      val proto = graft.operators.Positional.sysmonCsv.head
+      val want = Set("ts_ns", "process_guid", "process_id", "image",
+        "logon_id", "hashes", "parent_image")
+      val cols = proto.fields.zipWithIndex.collect { case (f, i) if want(f.name) =>
+        graft.operators.ProtoSynth.parsedSql(f.t, i, f.name)
+          .map { case (n, sql) => s"  $sql AS $n" }
+      }.flatten
+      withCtes(V2Cte)("SELECT\n" + cols.mkString(",\n") + "\nFROM v2")
+    },
 
     "f02_raw_log_sink" -> withCtes(V2Cte)(
       """SELECT 'applog' AS kind,

@@ -102,6 +102,19 @@ object Positional {
     struct(cols :+ (size(f) >= proto.minWidth).as("ok"): _*)
   }
 
+  /** Same typed decode over PRE-SPLIT columns — the shape a real
+    * `spark.read.csv` scan delivers (the reader already split on the
+    * delimiter and skipped the header row); `colName` maps field ordinal →
+    * input column. Short rows surface as nulls in the reader, so `ok`
+    * checks the last required column.
+    */
+  def fromColumns(proto: Proto, colName: Int => String): Column = {
+    val cols = proto.fields.zipWithIndex.map { case (fld, i) =>
+      conv(col(colName(i)), fld.t).as(fld.name)
+    }
+    struct(cols :+ col(colName(proto.fields.length - 1)).isNotNull.as("ok"): _*)
+  }
+
   // --- protocol registry (field layouts mirroring the reference's structs;
   //     construction sites cited per protocol) ---
 

@@ -31,4 +31,19 @@ object RawLog {
     df.coalesce(1).write.mode("overwrite").text(path)
     path
   }
+
+  /** Stage a single file whose FIRST line is a header (the sysmon CSV
+    * reader config — `option("header", true)` skips it per file); line
+    * order after the header is irrelevant to the set-compared oracle.
+    */
+  def stageWithHeader(df: DataFrame, header: String, name: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+    val dir = new java.io.File(s"target/stage/${name}_$tag")
+    dir.mkdirs()
+    val lines = df.collect().map(_.getString(0))
+    val content = (header +: lines).mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-000.tsv").toPath, content.getBytes("UTF-8"))
+    dir.getPath
+  }
 }

@@ -365,6 +365,22 @@ object QueriesPipeline {
           element_at(col("fields"), 4).as("in_bytes"))
     }),
 
+    // v9 OPTIONS templates end-to-end: scope+option pair widths define the
+    // record layout across packets (reference packet.rs:357-400,484-505)
+    "p29_netflow_v9_options" -> ((s, dir) => {
+      import s.implicits._
+      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9OptionsPackets(s, dir))
+      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
+        col("seq"), col("is_template").as("isTemplate"), col("widths"),
+        col("payload"), col("max_recs").as("maxRecs"))
+        .as[graft.streaming.Templates.NfRec]
+      graft.streaming.Templates.decodeBatch(ds).toDF()
+        .select(col("exporter").cast("int").as("exporter_id"),
+          col("templateId").as("template_id"), col("seq"), col("decoded"),
+          element_at(col("fields"), 1).as("scope_system"),
+          element_at(col("fields"), 2).as("in_bytes"))
+    }),
+
     // NetFlow stats counters (reference src/parser/netflow/statistics.rs):
     // flowset counts from the framing stage + record outcomes from the
     // stateful decode, one aggregate row
@@ -816,6 +832,14 @@ object QueriesPipeline {
         |  cast(length('raw ' || cast(did AS varchar) || ' payload-' || cast(did % 50 AS varchar)) AS bigint) AS n_bytes,
         |  (1700000000 + did % 1000)*1000000000 AS ts_ns
         |FROM v2""".stripMargin),
+
+    "p29_netflow_v9_options" -> withCtes(V2Cte)(
+      """SELECT cast((did//2) % 1024 AS int) AS exporter_id,
+        |  cast(512 + (did//2) % 50 AS int) AS template_id,
+        |  did + 10 AS seq, true AS decoded,
+        |  (did * 3) % 65536 AS scope_system,
+        |  (did * 2654435761) % 4294967296 AS in_bytes
+        |FROM v2 WHERE did % 2 = 1""".stripMargin),
 
     "p28_netflow_stats" -> withCtes(V2Cte)(
       """SELECT

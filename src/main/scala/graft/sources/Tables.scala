@@ -352,6 +352,36 @@ object Tables {
       unhex(pkt).as("packet"))
   }
 
+  /** NetFlow v9 OPTIONS-template packets (flowset id 1 — packet.rs:357-400):
+    * doc pairs per exporter group g=⌊did/2⌋ — even did carries the options
+    * template (1 scope pair System/2B + 1 option pair InBytes/4B), odd did
+    * a 6-byte data record for it.
+    */
+  def nfV9OptionsPackets(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
+    val g = idiv(did, 2L)
+    val tid = lit(512L) + g % 50L
+    val header = concat(
+      hexN(lit(9L), 4), hexN(lit(1L), 4),
+      hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
+      hexN(did + 10L, 8), hexN(g % 1024L, 8))
+    // options template flowset: id 1, len 18 = 4 + tid(2) + scopeLen(2) +
+    // optLen(2) + scope pair(4) + option pair(4)
+    val tplFs = concat(hexN(lit(1L), 4), hexN(lit(18L), 4),
+      hexN(tid, 4), hexN(lit(4L), 4), hexN(lit(4L), 4),
+      hexN(lit(1L), 4), hexN(lit(2L), 4),    // scope: System, 2 bytes
+      hexN(lit(1L), 4), hexN(lit(4L), 4))    // option: InBytes, 4 bytes
+    val dataFs = concat(hexN(tid, 4), hexN(lit(10L), 4),
+      hexN((did * 3) % 65536L, 4),
+      hexN((did * 2654435761L) % 4294967296L, 8))
+    val pkt = concat(header, when(did % 2 === 0, tplFs).otherwise(dataFs))
+    documents(spark, dir).select(
+      concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
+      did.as("did"),
+      unhex(pkt).as("packet"))
+  }
+
   /** Broadcast-side source dimension (analog of SecurityLogInfo —
     * /root/reference/src/parser/security_log.rs:54-87): one row per source,
     * derived deterministically so the oracle can rebuild it.

@@ -63,6 +63,22 @@ class PositionalSpec extends SparkSpec {
       }
   }
 
+  test("generator law: synth lines parse ok for every layout at arbitrary dids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dids = Seq(0L, 1L, 7L, 96L, 97L, 999L, 123456L, 99999999L).toDF("did")
+    val allProtos = Positional.giganto ++ Positional.sysmon14 ++
+      Positional.zeekP ++ Positional.sysmonCsv
+    // one job: every proto's ok-flag over every did, all in one projection
+    val okCols = allProtos.map(p =>
+      graft.operators.Positional.parser(p)(
+        graft.operators.ProtoSynth.line(p, col("did")))("ok").as(p.name))
+    val rows = dids.select(okCols: _*).collect()
+    allProtos.zipWithIndex.foreach { case (p, i) =>
+      assert(rows.forall(_.getBoolean(i)), s"${p.name} failed to parse some synth line")
+    }
+  }
+
   test("sysmon-csv types: ms timestamp and 0x hex id decode") {
     val p = Proto("t3", Seq(Field("ts_ns", PTsSysmonMs), Field("lid", PHexId)))
     val r = parse(p, "2023-01-10 00:00:00.250\t0x000ff")

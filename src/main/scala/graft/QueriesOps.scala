@@ -206,6 +206,23 @@ object QueriesOps {
           col("n_docs"))
     }),
 
+    // vocabulary building: global token frequencies, top-100 — parallel
+    // partial top-k (orderBy+limit), rank derived over the 100 survivors
+    "k03_vocab" -> ((s, dir) => {
+      val freq = Tables.tokens(s, dir).select(explode(col("tokens")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = freq.orderBy(col("freq").desc, col("tok")).limit(100)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    }),
+
+    // dataset statistics: sequence-length histogram (16-token buckets) —
+    // the length profile every tokenized-corpus curation step reports
+    "k04_len_hist" -> ((s, dir) =>
+      Tables.tokens(s, dir)
+        .groupBy((floor(col("n_tok") / 16) * 16).cast("int").as("len_bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("sum_tokens"))),
+
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
     // engines' differing round-half modes). The quantized vector is emitted
@@ -492,6 +509,18 @@ object QueriesOps {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
         |        FROM ktoks))))
         |GROUP BY 1 HAVING count(*) = 512""".stripMargin),
+
+    "k03_vocab" -> withCtes(ToksCte)(
+      """SELECT tok, freq, cast(row_number() OVER (ORDER BY freq DESC, tok) AS int) AS rank
+        |FROM (
+        |  SELECT tok, count(*) AS freq
+        |  FROM (SELECT unnest(tokens) AS tok FROM toks) GROUP BY tok)
+        |ORDER BY freq DESC, tok LIMIT 100""".stripMargin),
+
+    "k04_len_hist" -> withCtes(ToksCte)(
+      """SELECT cast(cast(floor(len(tokens)/16) AS bigint)*16 AS int) AS len_bucket,
+        |  count(*) AS docs, cast(sum(len(tokens)) AS bigint) AS sum_tokens
+        |FROM toks GROUP BY 1""".stripMargin),
 
     "k01_pack" -> withCtes(ToksCte)(
       """SELECT seq_id,

@@ -223,6 +223,16 @@ object QueriesOps {
         .groupBy((floor(col("n_tok") / 16) * 16).cast("int").as("len_bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("sum_tokens"))),
 
+    // deterministic train/val split: a pure-arithmetic hash split (stable
+    // across runs and engines — no sampling RNG), the assignment step of
+    // every dataset-curation pipeline
+    "k05_split" -> ((s, dir) => {
+      val h = (col("line_no") * 2654435761L) % 97
+      Tables.tokens(s, dir)
+        .withColumn("split", when(h < 87, lit("train")).otherwise(lit("val")))
+        .groupBy("split").agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("sum_tokens"))
+    }),
+
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
     // engines' differing round-half modes). The quantized vector is emitted
@@ -519,6 +529,11 @@ object QueriesOps {
 
     "k04_len_hist" -> withCtes(ToksCte)(
       """SELECT cast(cast(floor(len(tokens)/16) AS bigint)*16 AS int) AS len_bucket,
+        |  count(*) AS docs, cast(sum(len(tokens)) AS bigint) AS sum_tokens
+        |FROM toks GROUP BY 1""".stripMargin),
+
+    "k05_split" -> withCtes(ToksCte)(
+      """SELECT CASE WHEN (line_no * 2654435761) % 97 < 87 THEN 'train' ELSE 'val' END AS split,
         |  count(*) AS docs, cast(sum(len(tokens)) AS bigint) AS sum_tokens
         |FROM toks GROUP BY 1""".stripMargin),
 

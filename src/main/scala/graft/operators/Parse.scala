@@ -21,8 +21,14 @@ object Parse {
   val OplogRe = "^(\\d+)\\.(\\d+) (INFO|WARN|ERROR) (.*)$"
   val NginxRe = "^(\\S+) - - \\[(\\d+)\\] \"(\\w+) ([^ \"]+) HTTP/[^\"]*\" (\\d+) (\\d+)$"
 
-  private def nsFromSecFrac(sec: Column, fracMicros: Column): Column =
-    sec.cast("long") * lit(1000000000L) + fracMicros.cast("long") * lit(1000L)
+  /** sec.frac → ns with the fraction scaled by its digit count — real
+    * Zeek/giganto timestamps carry variable-width fractions ('...5' is
+    * 500 ms, not 5 µs); a missing fraction contributes 0.
+    */
+  private def nsFromSecFrac(sec: Column, frac: Column): Column =
+    sec.cast("long") * lit(1000000000L) +
+      coalesce(frac.cast("long") *
+        pow(lit(10.0), lit(9) - length(frac)).cast("long"), lit(0L))
 
   /** Operation-log family: `<sec>.<micros> LEVEL contents`
     * (reference regex: `(datetime)\s+(INFO|WARN|ERROR)\s(contents)` —

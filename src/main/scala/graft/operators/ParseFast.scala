@@ -13,8 +13,11 @@ import graft.functions.RegexpExtractStruct
   */
 object ParseFast {
 
-  private def nsFromSecFrac(sec: Column, fracMicros: Column): Column =
-    sec.cast("long") * lit(1000000000L) + fracMicros.cast("long") * lit(1000L)
+  // digit-scaled fraction (any width decodes correctly), same as Parse's
+  private def nsFromSecFrac(sec: Column, frac: Column): Column =
+    sec.cast("long") * lit(1000000000L) +
+      coalesce(frac.cast("long") *
+        pow(lit(10.0), lit(9) - length(frac)).cast("long"), lit(0L))
 
   /** Drop-in for [[Parse.oplog]] — 1 regex pass instead of 4. */
   def oplog(line: Column): Column = {

@@ -168,9 +168,11 @@ object QueriesOps {
       Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))
         .toDF().select("media_id", "media_type", "n_bytes", "checksum")),
 
-    // IVF with corpus-derived centroids (stride-sampled vectors) + nProbe=2
+    // IVF with corpus-derived centroids (stride-sampled vectors); 256 cells
+    // so the candidate join key has real cardinality (nCells IS the shuffle
+    // key), nProbe=32 holds the candidate fraction at ≈ 1/8
     "a03_ann_ivf" -> ((s, dir) =>
-      Ann.ivfTopK(emb(s, dir), col("vec_id") < 10, k = 5, nCells = 16, nProbe = 2)
+      Ann.ivfTopK(emb(s, dir), col("vec_id") < 10, k = 5, nCells = 256, nProbe = 32)
         .select(col("q_id"), col("c_id"),
           round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
 
@@ -364,15 +366,25 @@ object QueriesOps {
           |  WHERE q.vec_id < 10)""".stripMargin)(RerankSql)
     },
 
+    // twin of the two-pass threshold cut: same quantized-histogram →
+    // cumulative-count → max-bucket derivation, then ski >= thr filter
     "a04_ann_sketch" -> withCtes(EmbCte, SkCte,
-      s"""cand AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY ${skCosSql("q", "c")} DESC, c.vec_id) AS rn,
-         |      count(*) OVER (PARTITION BY q.vec_id) AS cnt
-         |    FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
-         |    WHERE q.vec_id < 10)
-         |  WHERE rn <= (cnt + 4) // 5)""".stripMargin)(RerankSql),
+      s"""sc AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    cast(floor((${skCosSql("q", "c")}) * 1000000) AS bigint) AS ski
+         |  FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10)""".stripMargin,
+      """thr AS (
+        |  SELECT q_id, max(ski) AS thr FROM (
+        |    SELECT q_id, ski,
+        |      sum(n) OVER (PARTITION BY q_id ORDER BY ski DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      sum(n) OVER (PARTITION BY q_id) AS cnt
+        |    FROM (SELECT q_id, ski, count(*) AS n FROM sc GROUP BY 1, 2))
+        |  WHERE cum >= (cnt + 4) // 5 GROUP BY q_id)""".stripMargin,
+      """cand AS (
+        |  SELECT sc.q_id, sc.c_id FROM sc JOIN thr USING (q_id)
+        |  WHERE sc.ski >= thr.thr)""".stripMargin)(RerankSql),
 
     "t01_langid" -> {
       val noVowel = "replace(replace(replace(replace(replace(text,'a',''),'e',''),'i',''),'o',''),'u','')"
@@ -456,7 +468,7 @@ object QueriesOps {
 
     "a03_ann_ivf" -> withCtes(EmbCte,
       """vm AS (SELECT vec_id, list_transform(v, x -> cast(floor(x*1000000 + 0.5) AS bigint)) AS xi FROM edd)""",
-      """cent AS (SELECT vec_id AS cid, xi AS ci FROM vm WHERE vec_id % 31 = 7 ORDER BY vec_id LIMIT 16)""",
+      """cent AS (SELECT vec_id AS cid, xi AS ci FROM vm WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 256)""",
       """asn AS (
         |  SELECT vec_id, cid,
         |    row_number() OVER (PARTITION BY vec_id
@@ -469,7 +481,7 @@ object QueriesOps {
       """cand AS (
         |  SELECT DISTINCT q.vec_id AS q_id, cc.vec_id AS c_id
         |  FROM asn q JOIN asn cc ON cc.cid = q.cid AND cc.cr = 1 AND cc.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 10 AND q.cr <= 2)""".stripMargin)(RerankSql),
+        |  WHERE q.vec_id < 10 AND q.cr <= 32)""".stripMargin)(RerankSql),
 
     "s01_salted_enrich" -> withCtes(ToksCte, DimCte)(
       """SELECT t.doc_id, t.source, d.vendor, d.log_type, d.version

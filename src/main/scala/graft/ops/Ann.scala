@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * once). Scale paths, all built on one shared primitive — deterministic
   * integer projection sketches:
   *
-  *  - [[sketchRerankTopK]] — compressed-scan + exact rerank: rank the whole
+  *  - [[sketchRerankTopK]] — compressed-scan + exact rerank: score the
   *    corpus by 32-d sketch cosine (8× less data than the 64-d f32 vectors,
-  *    whole-stage-codegen'd integer arithmetic), keep the top fraction,
+  *    whole-stage-codegen'd integer arithmetic), keep the top fraction via
+  *    a two-pass quantized-histogram threshold (no per-query corpus sort —
+  *    per-query window state is bounded by the bucket range at any scale),
   *    re-score only those with exact cosine. Candidate fraction is an exact
   *    knob (default 1/5); measured recall@5 ≈ 0.89 on the synthetic corpus.
   *  - [[multiTableLshTopK]] — L independent sign-bucket tables from the same
@@ -46,6 +48,28 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
+  /** Scale-safe per-query top-k over (q_id, c_id, cos) rows. A direct
+    * `Window.partitionBy(q_id)` rank sorts ALL of a query's candidate rows
+    * in one task — at 100× data that is a single-task corpus sort per
+    * query. Two-level instead: rank within (q_id, salt) partitions first
+    * (any global top-k row is necessarily in its salt bucket's local
+    * top-k), then rank the ≤ salts·k survivors per query. Output is
+    * identical to the direct global rank (same orderBy, same tie-break);
+    * the final window holds at most salts·k rows per query regardless of
+    * corpus size. Same partial-top-k-then-merge shape as e02/k03's
+    * TakeOrderedAndProject, expressed per query group.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 32): DataFrame = {
+    val wLocal = Window.partitionBy(col("q_id"), pmod(hash(col("c_id")), lit(salts)))
+      .orderBy(col("cos").desc, col("c_id"))
+    val pruned = scored.withColumn("__lr", row_number().over(wLocal))
+      .where(col("__lr") <= k).drop("__lr")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "cos", "rank")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic tie-break on (cos desc, id).
     */
@@ -55,10 +79,7 @@ object Ann {
     val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
     val scored = q.join(c, col("c_id") =!= col("q_id")) // broadcast(q) auto: q is tiny
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "cos", "rank")
+    topKPerQuery(scored.select("q_id", "c_id", "cos"), k)
   }
 
   /** Projection weight for sketch row t (0-based), component i0 (1-based):
@@ -99,39 +120,60 @@ object Ann {
     d / (nq * nc)
   }
 
-  /** Compressed-scan + exact-rerank top-k: rank all candidates per query by
-    * sketch cosine, keep the top ceil(cnt/candDiv) (default 1/5 of the
-    * corpus), exact-cosine only those. Candidate cut is integer arithmetic
-    * ((cnt + div-1) div div) so both engines agree exactly.
+  /** Compressed-scan + exact-rerank top-k, two-pass threshold form: keep
+    * every candidate whose sketch cosine clears the per-query cut value,
+    * exact-cosine only those.
+    *
+    * The cut is derived WITHOUT ranking the corpus per query (a
+    * `Window.partitionBy(q_id)` rank over the Q×N scored rows would sort
+    * the whole corpus in one task per query): sketch cosines are quantized
+    * to integer micro-units (floor(x·1e6) — bit-identical doubles in both
+    * engines, so the quantization is too), pass 1 builds a per-(q_id,
+    * bucket) histogram — a map-side-combined aggregate whose per-query size
+    * is bounded by the 2·1e6+1 bucket range REGARDLESS of corpus size —
+    * and the threshold bucket (largest bucket at which the descending
+    * cumulative count reaches ceil(cnt/candDiv)) falls out of a window over
+    * that bounded histogram. Pass 2 re-scans the sketch pairs and keeps
+    * ski ≥ threshold; boundary-bucket ties are all kept (candidates may
+    * slightly exceed cnt/candDiv — recall can only improve, and both
+    * engines keep the identical set, so the oracle stays exact).
     */
   def sketchRerankTopK(emb: DataFrame, queryFilter: Column, k: Int,
                        kProj: Int = 32, candDiv: Int = 5): DataFrame = {
-    val sk = sketches(emb, kProj)
+    // materialized once: both passes consume it (at cluster scale the
+    // sketch table is the persisted compressed-scan artifact)
+    val sk = sketches(emb, kProj).localCheckpoint(true)
     val qs = sk.where(queryFilter)
       .select(col("vec_id").as("q_id") +: (0 until kProj).map(t => col(s"s$t").as(s"qs$t")): _*)
     val cs = sk
       .select(col("vec_id").as("c_id") +: (0 until kProj).map(t => col(s"s$t").as(s"cs$t")): _*)
-    val wSk = Window.partitionBy(col("q_id"))
     val scored = qs.join(cs, col("c_id") =!= col("q_id"))
-      .withColumn("sk_cos", sketchCos(kProj, "qs", "cs"))
-      .withColumn("rn", row_number().over(wSk.orderBy(col("sk_cos").desc, col("c_id"))))
-      .withColumn("cnt", count(lit(1)).over(wSk))
-      .where(col("rn") <= expr(s"(cnt + ${candDiv - 1}) div $candDiv"))
+      .withColumn("ski", floor(sketchCos(kProj, "qs", "cs") * lit(1e6)).cast("long"))
+      .select("q_id", "c_id", "ski")
+    val hist = scored.groupBy("q_id", "ski").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("q_id")).orderBy(col("ski").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("cnt", sum(col("n")).over(Window.partitionBy(col("q_id"))))
+      .where(col("cum") >= expr(s"(cnt + ${candDiv - 1}) div $candDiv"))
+      .groupBy("q_id").agg(max(col("ski")).as("thr"))
+    val cand = scored.join(thr, "q_id")
+      .where(col("ski") >= col("thr"))
       .select("q_id", "c_id")
-    rerankExact(emb, scored, k)
+    rerankExact(emb, cand, k)
   }
 
-  /** Exact-cosine rerank of (q_id, c_id) candidate pairs → top-k per query. */
+  /** Exact-cosine rerank of (q_id, c_id) candidate pairs → top-k per query
+    * (two-level salted rank — see [[topKPerQuery]]).
+    */
   def rerankExact(emb: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val scored = pairs
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
       .join(e.select(col("vec_id").as("c_id"), col("v").as("cv")), "c_id")
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "cos", "rank")
+    topKPerQuery(scored.select("q_id", "c_id", "cos"), k)
   }
 
   /** Multi-table LSH: table t's bucket = sign bits of sketch rows
@@ -160,18 +202,25 @@ object Ann {
   }
 
   /** IVF with data-derived centroids: centroids are stride-sampled corpus
-    * vectors (vec_id ≡ 7 mod 31, first nCells by id — a seeded sample that
+    * vectors (vec_id ≡ 7 mod 13, first nCells by id — a seeded sample that
     * any engine reproduces); corpus vectors live in their best cell, queries
     * probe their top nProbe cells. Assignment dots are exact int64 sums over
     * microunits via a broadcast position-join (codegen'd, no HOF in the
     * per-row hot path).
+    *
+    * Cell count must scale with the corpus: the candidate stage equi-joins
+    * on `cid`, so nCells IS the shuffle-key cardinality — a handful of
+    * cells funnels the corpus through a handful of reducers. Default 256
+    * (≈√N at the bench scale; at real scale pick 1024–4096), with nProbe
+    * sized to hold the candidate fraction ≈ nProbe/nCells at the target
+    * recall/cost point.
     */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+              nCells: Int = 256, nProbe: Int = 32): DataFrame = {
     val micro = emb.select(col("vec_id"),
       posexplode(asDouble(col("embedding"))).as(Seq("p", "x")))
       .select(col("vec_id"), col("p").as("pos"), floor(col("x") * 1e6 + lit(0.5)).cast("long").as("xi"))
-    val cents = emb.where(col("vec_id") % 31 === 7).orderBy(col("vec_id")).limit(nCells)
+    val cents = emb.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), posexplode(asDouble(col("embedding"))).as(Seq("p", "x")))
       .select(col("cid"), col("p").as("pos"), floor(col("x") * 1e6 + lit(0.5)).cast("long").as("ci"))
     val cnorm = cents.groupBy("cid").agg(sum(col("ci") * col("ci")).as("cnorm"))
@@ -183,7 +232,11 @@ object Ann {
       .join(broadcast(cnorm), "cid")
       .withColumn("score", col("dotc").cast("double") / sqrt(col("cnorm").cast("double")))
     val wC = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+    // materialize the assignment once: both consumers (corpus best-cell and
+    // query probe list) are subsets of cr <= nProbe, and recomputing `dots`
+    // (the N×nCells assignment pass) twice would double the dominant cost
     val ranked = dots.withColumn("cr", row_number().over(wC))
+      .where(col("cr") <= math.max(1, nProbe)).localCheckpoint(true)
     val corpusCell = ranked.where(col("cr") === 1).select(col("vec_id").as("c_id"), col("cid"))
     val qIds = emb.where(queryFilter).select(col("vec_id").as("q_id"))
     val queryCells = ranked.join(qIds, ranked("vec_id") === qIds("q_id"))

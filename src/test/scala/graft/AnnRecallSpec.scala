@@ -48,12 +48,12 @@ class AnnRecallSpec extends SparkSpec {
     val qf = col("vec_id") < 20
     val exact = Ann.bruteForceTopK(emb, qf, k = 5)
     val lsh = Ann.multiTableLshTopK(emb, qf, k = 5, tables = 4, bits = 8)
-    val ivf = Ann.ivfTopK(emb, qf, k = 5, nCells = 16, nProbe = 2)
+    val ivf = Ann.ivfTopK(emb, qf, k = 5, nCells = 256, nProbe = 32)
     val rLsh = recall(lsh, exact)
     val rIvf = recall(ivf, exact)
-    info(f"recall@5: multi-table lsh=$rLsh%.3f ivf(nProbe=2)=$rIvf%.3f (isotropic corpus)")
+    info(f"recall@5: multi-table lsh=$rLsh%.3f ivf(256 cells, nProbe=32)=$rIvf%.3f (isotropic corpus)")
     // full result sets and clearly above the random-candidate floor
-    // (lsh frac ≈ 4/2^8 ≈ 1.6%, ivf frac ≈ 2/16 = 12.5%)
+    // (lsh frac ≈ 4/2^8 ≈ 1.6%, ivf frac ≈ 32/256 = 12.5%)
     assert(topSet(lsh).size === 20 && topSet(ivf).size === 20)
     assert(rLsh > 0.05 && rLsh <= 1.0)
     assert(rIvf > 0.15 && rIvf <= 1.0)

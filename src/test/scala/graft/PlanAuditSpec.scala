@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Window => LWindow, WindowGroupLimit}
 import org.apache.spark.sql.functions._
 
 import graft.ops.DedupOps
@@ -40,6 +40,35 @@ class PlanAuditSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected parallel partial top-k, plan was:\n$plan")
+  }
+
+  test("a04 sketch-rerank has no single-task corpus sort per query") {
+    // every Window partitioned on q_id alone must consume a BOUNDED input:
+    // either the quantized-sketch histogram (an Aggregate — per-query size
+    // capped by the 2e6+1 bucket range regardless of corpus size) or the
+    // salted local-rank survivors (a Filter on the __lr <= k local rank —
+    // ≤ salts·k rows per query). A q_id-only window directly over the raw
+    // Q×N scored pairs would sort the whole corpus in one task per query.
+    val q = SparkEntry.queries("a04_ann_sketch")(spark, Sf)
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.size == 1).foreach { w =>
+      // walk through Project/Filter wrappers to the window's real input
+      def boundedInput(p: LogicalPlan, sawLocalRankCut: Boolean): Boolean = p match {
+        case _: Aggregate => true
+        // rank-limit pushdown (InferWindowGroupLimit): each task prunes its
+        // groups to the top `limit` rows map-side before any shuffle/sort
+        case _: WindowGroupLimit => true
+        case f: Filter =>
+          boundedInput(f.child, sawLocalRankCut || f.condition.toString.contains("__lr"))
+        case pr: Project => boundedInput(pr.child, sawLocalRankCut)
+        // a stacked window adds no rows: bounded iff what feeds the stack is
+        case w2: LWindow => sawLocalRankCut || boundedInput(w2.child, sawLocalRankCut)
+        case _ => sawLocalRankCut
+      }
+      assert(boundedInput(w.child, sawLocalRankCut = false),
+        s"q_id-only window over unbounded input:\n${w.child.treeString}")
+    }
   }
 
   test("d07 embedding near-dup joins on (label, block), not label alone") {

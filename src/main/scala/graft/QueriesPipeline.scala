@@ -393,7 +393,10 @@ object QueriesPipeline {
         .as[graft.streaming.Templates.NfRec]
       val fs = recs.agg(
         sum(when(col("is_template"), 1L).otherwise(0L)).as("template_flowsets"),
-        sum(when(!col("is_template"), 1L).otherwise(0L)).as("data_flowsets"))
+        sum(when(!col("is_template"), 1L).otherwise(0L)).as("data_flowsets"),
+        // flowsets observed in packets whose walk hit the maxFlowsets cap —
+        // loss is counted, never silent (reference counts skipped datasets)
+        sum(when(col("truncated"), 1L).otherwise(0L)).as("truncated_flowsets"))
       val ev = graft.streaming.Templates.decodeBatch(ds).toDF().agg(
         sum(when(col("decoded"), 1L).otherwise(0L)).as("decoded_records"),
         sum(when(!col("decoded"), 1L).otherwise(0L)).as("undecodable_flowsets"))
@@ -780,7 +783,7 @@ object QueriesPipeline {
 
     "p27_netflow_v9" -> withCtes(V2Cte)(
       """SELECT
-        |  cast((did//10) % 4096 AS int) AS exporter_id,
+        |  cast((did//10) % 4294967296 AS int) AS exporter_id,
         |  cast(CASE WHEN did % 10 = 5 THEN 256 + (did//10) % 100 + 101
         |            ELSE 256 + (did//10) % 100 END AS int) AS template_id,
         |  CASE WHEN did % 10 = 1 THEN did + 8 ELSE did + 10 END AS seq,
@@ -834,7 +837,7 @@ object QueriesPipeline {
         |FROM v2""".stripMargin),
 
     "p29_netflow_v9_options" -> withCtes(V2Cte)(
-      """SELECT cast((did//2) % 1024 AS int) AS exporter_id,
+      """SELECT cast((did//2) % 4294967296 AS int) AS exporter_id,
         |  cast(512 + (did//2) % 50 AS int) AS template_id,
         |  did + 10 AS seq, true AS decoded,
         |  (did * 3) % 65536 AS scope_system,
@@ -845,6 +848,7 @@ object QueriesPipeline {
       """SELECT
         |  cast(sum(CASE WHEN did % 10 = 0 THEN 1 ELSE 0 END) AS bigint) AS template_flowsets,
         |  cast(sum(CASE WHEN did % 10 <> 0 THEN 1 ELSE 0 END) AS bigint) AS data_flowsets,
+        |  cast(0 AS bigint) AS truncated_flowsets,
         |  cast(sum(CASE WHEN did % 10 IN (0, 1, 5) THEN 0
         |                WHEN did % 10 = 7 THEN 1 ELSE 1 + did % 2 END) AS bigint) AS decoded_records,
         |  cast(sum(CASE WHEN did % 10 IN (1, 5) THEN 1 ELSE 0 END) AS bigint) AS undecodable_flowsets

@@ -78,7 +78,20 @@ object BinaryDecode {
     * raw record bytes as a hex payload for the template-stateful decode
     * stage ([[graft.streaming.Templates]]). One output row per flowset:
     * (exporter, seq, is_template, template_id, field_types, widths(hex
-    * chars), payload, max_recs).
+    * chars), payload, max_recs, truncated).
+    *
+    * Known bounds vs the reference's iterator (documented, not silent):
+    *  - ONE template definition is read per template flowset (tplId/fldCnt
+    *    at fixed o+4/o+6); the reference's parse_netflow_template loops over
+    *    multiple back-to-back templates in one flowset. A second template in
+    *    the same flowset is not registered (its bytes sit unread in the
+    *    flowset body). Iterating would nest a second dependent-offset walk
+    *    (next template offset depends on the previous field count) inside
+    *    the flowset walk — the ~5×-per-level expression growth squared.
+    *  - packets carrying more than `maxFlowsets` flowsets are truncated;
+    *    every emitted row of such a packet has `truncated=true` so callers
+    *    count the loss (p28-style stats) rather than mistake it for a full
+    *    decode.
     */
   def netflowV9Recs(packets: org.apache.spark.sql.DataFrame,
                     maxFlowsets: Int = 3): org.apache.spark.sql.DataFrame = {
@@ -117,6 +130,11 @@ object BinaryDecode {
       when(fsId === 0L && fldCnt > 0, pairList(col("o") + 8, fldCnt, pick))
         .when(fsId === 1L && optPairs > 0, pairList(col("o") + 10, optPairs.cast("long"), pick))
         .otherwise(array().cast("array<int>"))
+    // a further flowset header fits after the LAST walked offset → the walk
+    // was cut short by maxFlowsets (per-packet flag, same value on each row)
+    val oLast = offsets.last
+    val truncated = length(p) >= oLast + 3 &&
+      length(p) >= oLast + beUintAt(p, (oLast + 2).cast("int"), 2) + 4
     base
       .withColumn("is_template", fsId <= 1L)
       .withColumn("template_id", when(fsId <= 1L, tplId).otherwise(fsId).cast("int"))
@@ -124,8 +142,9 @@ object BinaryDecode {
       .withColumn("widths", tplSel(1))
       .withColumn("payload",
         when(fsId <= 1L, lit("")).otherwise(lower(hex(p.substr(col("o") + 4, (fsLen - 4).cast("int"))))))
+      .withColumn("truncated", truncated)
       .select("exporter", "template_id", "seq", "is_template", "widths",
-        "field_types", "payload", "max_recs")
+        "field_types", "payload", "max_recs", "truncated")
   }
 
   /** Little-endian unsigned int at a dynamic 1-based offset (pcap headers

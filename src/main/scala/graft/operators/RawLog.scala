@@ -33,17 +33,21 @@ object RawLog {
   }
 
   /** Stage a single file whose FIRST line is a header (the sysmon CSV
-    * reader config — `option("header", true)` skips it per file); line
-    * order after the header is irrelevant to the set-compared oracle.
+    * reader config — `option("header", true)` skips it per file). Written
+    * via Spark — no driver-side collect, so staging is O(1) driver memory
+    * at any scale factor: the header is unioned with sort key 0 and the
+    * single output partition is sorted so it lands first; data-line order
+    * after the header is irrelevant to the set-compared oracle.
     */
   def stageWithHeader(df: DataFrame, header: String, name: String, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
-    val dir = new java.io.File(s"target/stage/${name}_$tag")
-    dir.mkdirs()
-    val lines = df.collect().map(_.getString(0))
-    val content = (header +: lines).mkString("", "\n", "\n")
-    java.nio.file.Files.write(
-      new java.io.File(dir, "part-000.tsv").toPath, content.getBytes("UTF-8"))
-    dir.getPath
+    val path = s"target/stage/${name}_hdr_$tag"
+    val hdr = df.sparkSession.range(1)
+      .select(lit(0).as("k"), lit(header).as("value"))
+    df.select(lit(1).as("k"), col("value")).unionByName(hdr)
+      .coalesce(1).sortWithinPartitions(col("k"))
+      .select("value")
+      .write.mode("overwrite").text(path)
+    path
   }
 }

@@ -208,6 +208,11 @@ object DedupOps {
       converged = changed == 0
       i += 1
     }
+    // never return silently-wrong (non-minimal) labels: with pointer
+    // jumping, convergence takes O(log diameter) rounds, so hitting the cap
+    // almost certainly means a bug — fail loudly instead
+    require(converged,
+      s"duplicateClusters did not converge within $maxIters rounds")
     labels.select(col("sid"), col("lbl").as("cluster"))
   }
 

@@ -317,6 +317,13 @@ object Tables {
     val did = col("doc_id")
     def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
     val g = idiv(did, 10L)
+    // exporter = g (full u32 range, not g % 4096): with a narrower exporter
+    // modulus, two groups g ≡ g' (mod lcm(4096, 100)) would share BOTH the
+    // exporter and the template id, so a later group's data-before-template
+    // packet would find the earlier group's registration and decode — while
+    // the oracle pins it undecodable. Unique exporters hold the oracle
+    // semantics at any doc count (and parallelize the stateful group-by)
+    val exporter = g % 4294967296L
     val tid = lit(256L) + g % 100L
     val isTpl = did % 10 === 0
     val isOrphan = did % 10 === 5
@@ -329,7 +336,7 @@ object Tables {
     val header = concat(
       hexN(lit(9L), 4), hexN(hc, 4),
       hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
-      hexN(seq, 8), hexN(g % 4096L, 8))
+      hexN(seq, 8), hexN(exporter, 8))
     // template flowset: id 0, len 4+4+4*4=24, template_id, field_count=4,
     // (type, byte-len) pairs
     val tplFs = concat(hexN(lit(0L), 4), hexN(lit(24L), 4),
@@ -365,7 +372,9 @@ object Tables {
     val header = concat(
       hexN(lit(9L), 4), hexN(lit(1L), 4),
       hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
-      hexN(did + 10L, 8), hexN(g % 1024L, 8))
+      // exporter = g, same reasoning as nfV9Packets: a narrower modulus
+      // would alias (exporter, tid) across groups at lcm(1024, 50) groups
+      hexN(did + 10L, 8), hexN(g % 4294967296L, 8))
     // options template flowset: id 1, len 18 = 4 + tid(2) + scopeLen(2) +
     // optLen(2) + scope pair(4) + option pair(4)
     val tplFs = concat(hexN(lit(1L), 4), hexN(lit(18L), 4),

@@ -50,8 +50,11 @@ object Templates {
         val n = math.min(rec.payload.length / recLen, rec.maxRecs)
         (0 until n).map { r =>
           var off = r * recLen
+          // parseUnsignedLong: an 8-byte field (16 hex chars) with the high
+          // bit set is legal NetFlow v9 (64-bit counters) — signed parseLong
+          // would throw and kill the task instead of decoding
           val fields = ws.map { w =>
-            val v = java.lang.Long.parseLong(rec.payload.substring(off, off + w), 16)
+            val v = java.lang.Long.parseUnsignedLong(rec.payload.substring(off, off + w), 16)
             off += w
             v
           }
@@ -61,9 +64,12 @@ object Templates {
         Seq(NfDecoded(rec.exporter, rec.templateId, rec.seq, 0, decoded = false, Seq.empty))
     }
 
-  /** Pure per-group fold, shared by the streaming and batch forms: records
+  /** Pure per-group fold for the STREAMING form: records of one micro-batch
     * sorted by seq; templates update the dictionary, data records decode
-    * with the template in force at their seq.
+    * with the template in force at their seq. Materializing the iterator is
+    * bounded here by the micro-batch size (state across batches lives in
+    * GroupState, not in this Seq); the batch form uses a secondary sort and
+    * never materializes a group — see [[decodeBatch]].
     */
   def foldGroup(recs: Iterator[NfRec], init: TplState): (Seq[NfDecoded], TplState) = {
     // at equal seq (flowsets of one packet) templates apply first — the
@@ -97,11 +103,32 @@ object Templates {
       }
   }
 
-  /** Batch form (whole input in one group pass) — the oracle for tests. */
+  /** Batch form, memory-bounded via secondary sort: hash-partition by
+    * exporter, sort each partition by (exporter, seq, templates-first), then
+    * fold the iterator directly — group state is ONE template dictionary at
+    * a time, never a materialized group. With few exporters (the common
+    * case: one router) the old groupByKey+flatMapGroups form held an
+    * exporter's whole flowset history in a single task's memory; this form
+    * streams it. Same order semantics as [[foldGroup]]: at equal seq,
+    * templates apply before data (the reference registers a packet's
+    * template flowsets before decoding its data flowsets).
+    */
   def decodeBatch(ds: Dataset[NfRec]): Dataset[NfDecoded] = {
+    import org.apache.spark.sql.functions.{col, when}
     implicit val encD = Encoders.product[NfDecoded]
-    implicit val encK = Encoders.STRING
-    ds.groupByKey(_.exporter)
-      .flatMapGroups((_, recs) => foldGroup(recs, TplState(Map.empty))._1.iterator)
+    ds.repartition(col("exporter"))
+      .sortWithinPartitions(col("exporter"), col("seq"),
+        when(col("isTemplate"), 0).otherwise(1))
+      .mapPartitions { it =>
+        var cur: String = null
+        var st = TplState(Map.empty)
+        it.flatMap { r =>
+          if (r.exporter != cur) { cur = r.exporter; st = TplState(Map.empty) }
+          if (r.isTemplate) {
+            st = TplState(st.widths + (r.templateId -> r.widths))
+            Iterator.empty
+          } else decodeRecords(r, st.widths.get(r.templateId)).iterator
+        }
+      }
   }
 }

@@ -36,6 +36,26 @@ class TemplatesSpec extends SparkSpec {
     assert(out(("e2", 1L)) === (false, Nil))
   }
 
+  test("batch fold streams one exporter's many flowsets (secondary sort, no group materialization)") {
+    // one exporter, 20k flowsets, template redefinitions every 1000 seqs —
+    // the single-router shape that used to hold the whole history in one
+    // task's memory under groupByKey+flatMapGroups
+    val recs = (0 until 20000).map { i =>
+      if (i % 1000 == 0)
+        tpl("e1", 500, i.toLong, if ((i / 1000) % 2 == 0) Seq(4) else Seq(2, 2))
+      else dat("e1", 500, i.toLong, "0a0b")
+    }
+    val q = Templates.decodeBatch(spark.createDataset(recs))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort") && !plan.contains("MapGroups"),
+      s"expected streamed secondary-sort fold, got:\n$plan")
+    val out = q.collect()
+    assert(out.length === 20000 - 20)
+    val bySeq = out.map(d => d.seq -> d.fields.toList).toMap
+    assert(bySeq(500L) === List(0x0a0bL))       // 1×4-hex template in force
+    assert(bySeq(1500L) === List(0x0aL, 0x0bL)) // redefinition applies forward
+  }
+
   test("foldGroup is order-insensitive to input permutation (sorts by seq)") {
     val recs = Seq(
       dat("e1", 7, 2, "0a0b"),

@@ -353,7 +353,8 @@ object QueriesPipeline {
       val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9Packets(s, dir))
       val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
         col("seq"), col("is_template").as("isTemplate"), col("widths"),
-        col("payload"), col("max_recs").as("maxRecs"))
+        col("payload"), col("max_recs").as("maxRecs"),
+        col("field_types").as("types"))
         .as[graft.streaming.Templates.NfRec]
       graft.streaming.Templates.decodeBatch(ds).toDF()
         .select(col("exporter").cast("int").as("exporter_id"),
@@ -372,13 +373,39 @@ object QueriesPipeline {
       val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9OptionsPackets(s, dir))
       val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
         col("seq"), col("is_template").as("isTemplate"), col("widths"),
-        col("payload"), col("max_recs").as("maxRecs"))
+        col("payload"), col("max_recs").as("maxRecs"),
+        col("field_types").as("types"))
         .as[graft.streaming.Templates.NfRec]
       graft.streaming.Templates.decodeBatch(ds).toDF()
         .select(col("exporter").cast("int").as("exporter_id"),
           col("templateId").as("template_id"), col("seq"), col("decoded"),
           element_at(col("fields"), 1).as("scope_system"),
           element_at(col("fields"), 2).as("in_bytes"))
+    }),
+
+    // NetFlow v9 TYPE-AWARE rendering (reference fields.rs: FieldTypes enum,
+    // get_types kind mapping, TCP_FLAGS/FORWARDING_STATUS tables): the
+    // template's (type, len) pairs ride through the stateful decode, and
+    // each decoded value renders by its wire type — dotted-quad IPv4,
+    // |-joined TCP-flag names, forwarding-status text, decimal counters.
+    // One output row per (record, field): (name, rendered).
+    "p30_netflow_v9_typed" -> ((s, dir) => {
+      import s.implicits._
+      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9TypedPackets(s, dir))
+      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
+        col("seq"), col("is_template").as("isTemplate"), col("widths"),
+        col("payload"), col("max_recs").as("maxRecs"),
+        col("field_types").as("types"))
+        .as[graft.streaming.Templates.NfRec]
+      graft.streaming.Templates.decodeBatch(ds).toDF().where(col("decoded"))
+        .select(col("exporter").cast("int").as("exporter_id"), col("seq"),
+          col("recIdx").as("rec_idx"),
+          posexplode(arrays_zip(col("types"), col("fields"))))
+        .select(col("exporter_id"), col("seq"), col("rec_idx"),
+          col("pos").cast("int").as("field_idx"),
+          graft.operators.BinaryDecode.v9TypeName(col("col.types")).as("field_name"),
+          graft.operators.BinaryDecode.v9Render(col("col.types"), col("col.fields"))
+            .as("rendered"))
     }),
 
     // NetFlow stats counters (reference src/parser/netflow/statistics.rs):
@@ -389,7 +416,8 @@ object QueriesPipeline {
       val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9Packets(s, dir))
       val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
         col("seq"), col("is_template").as("isTemplate"), col("widths"),
-        col("payload"), col("max_recs").as("maxRecs"))
+        col("payload"), col("max_recs").as("maxRecs"),
+        col("field_types").as("types"))
         .as[graft.streaming.Templates.NfRec]
       val fs = recs.agg(
         sum(when(col("is_template"), 1L).otherwise(0L)).as("template_flowsets"),
@@ -843,6 +871,47 @@ object QueriesPipeline {
         |  (did * 3) % 65536 AS scope_system,
         |  (did * 2654435761) % 4294967296 AS in_bytes
         |FROM v2 WHERE did % 2 = 1""".stripMargin),
+
+    "p30_netflow_v9_typed" -> {
+      def dotted(a: String): String =
+        s"cast(cast(floor($a/16777216) AS bigint) % 256 AS varchar) || '.' || " +
+          s"cast(cast(floor($a/65536) AS bigint) % 256 AS varchar) || '.' || " +
+          s"cast(cast(floor($a/256) AS bigint) % 256 AS varchar) || '.' || " +
+          s"cast($a % 256 AS varchar)"
+      // TCP_FLAGS table order and masks verbatim (incl. CWR's 0x08)
+      val flags = Seq(1 -> "FIN", 2 -> "SYN", 4 -> "RST", 8 -> "PSH",
+        16 -> "ACK", 32 -> "URG", 64 -> "ECE", 8 -> "CWR")
+        .map { case (m, n) => s"CASE WHEN ((did % 256) & $m) > 0 THEN '$n' END" }
+        .mkString("concat_ws('|', ", ", ", ")")
+      val names = Seq("IPv4SrcAddr", "IPv4DstAddr", "L4SrcPort", "L4DstPort",
+        "Protocol", "TCPFlags", "InBytes", "InPackets", "SrcTos", "OutBytes")
+        .zipWithIndex.map { case (n, j) => s"WHEN $j THEN '$n'" }.mkString(" ")
+      withCtes(V2Cte,
+        """f AS (
+          |  SELECT doc_id, did,
+          |    (did * 2654435761) % 4294967296 AS a1,
+          |    (did * 7919 + 5) % 4294967296 AS a2,
+          |    unnest(range(11)) AS j
+          |  FROM v2 WHERE did % 2 = 1)""".stripMargin)(
+        s"""SELECT cast((did//2) % 4294967296 AS int) AS exporter_id,
+           |  did + 10 AS seq, cast(0 AS int) AS rec_idx, cast(j AS int) AS field_idx,
+           |  CASE j $names ELSE 'ForwardingStatus' END AS field_name,
+           |  CASE j
+           |    WHEN 0 THEN ${dotted("a1")}
+           |    WHEN 1 THEN ${dotted("a2")}
+           |    WHEN 2 THEN cast(1024 + did % 60000 AS varchar)
+           |    WHEN 3 THEN '443'
+           |    WHEN 4 THEN '6'
+           |    WHEN 5 THEN $flags
+           |    WHEN 6 THEN cast(did % 4294967296 AS varchar)
+           |    WHEN 7 THEN cast(did % 1000 AS varchar)
+           |    WHEN 8 THEN cast((did * 3) % 256 AS varchar)
+           |    WHEN 9 THEN cast((did * 11) % 4294967296 AS varchar)
+           |    ELSE CASE did % 4 WHEN 0 THEN 'Unknown' WHEN 1 THEN 'Forwarded (Unknown)'
+           |         WHEN 2 THEN 'Forwarded (Fragmented)' ELSE 'Forwarded (Not Fragmented)' END
+           |  END AS rendered
+           |FROM f""".stripMargin)
+    },
 
     "p28_netflow_stats" -> withCtes(V2Cte)(
       """SELECT

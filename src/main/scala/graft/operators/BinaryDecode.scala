@@ -153,40 +153,57 @@ object BinaryDecode {
   def leUintAt(bin: Column, pos: Column, len: Int): Column =
     (0 until len).map(i => beUintAt(bin, pos + i, 1) * lit(1L << (8 * i))).reduce(_ + _)
 
-  /** pcap FILE framing, pure Catalyst over `binaryFile` content: validate
-    * the little-endian global header (magic a1b2c3d4, linktype 1 =
-    * Ethernet — the reference rejects other link types,
-    * src/collector/netflow.rs:59), walk the per-packet records via their
-    * incl_len chain, then peel Ethernet(14)+IPv4(20)+UDP(8) and keep only
-    * cflow-port datagrams (CFLOW_UDP_PORTS filter —
-    * src/parser/netflow/packet.rs:20,253). Output: one row per accepted
-    * packet with the NetFlow payload in `nf` plus the capture timestamp.
+  /** pcap FILE framing, typed per-file walk over `binaryFile` content: one
+    * sequential pass over each file's record chain (each packet's offset
+    * depends on the previous incl_len — inherently sequential, exactly the
+    * reference's packet iterator, src/collector/netflow.rs:178). The walk
+    * is a typed flatMap because a Catalyst dependent-offset chain re-embeds
+    * every prior offset expression (~5× tree growth per level), capping
+    * captures at a handful of packets — real captures hold millions per
+    * file. FILES parallelize across the cluster; within a file the wire
+    * format itself forbids random access. Validates the little-endian
+    * global header (magic a1b2c3d4, linktype 1 = Ethernet only —
+    * netflow.rs:59). Output: one row per captured packet:
+    * (path, cap_sec, data bytes).
     */
-  def pcapNetflowV5Payloads(files: org.apache.spark.sql.DataFrame,
-                            maxPackets: Int = 4): org.apache.spark.sql.DataFrame = {
-    // NOTE: each offset level embeds the previous offset expression several
-    // times (incl_len is read at a dependent position), so the tree grows
-    // ~5× per level — keep maxPackets small; for deeper captures, split
-    // files or move the walk into a typed map
-    require(maxPackets <= 5, "offset-chain expression grows ~5x per level")
-    val c = col("content")
-    val offsets = Iterator.iterate(lit(25L).cast("long"), maxPackets)(o =>
-      o + 16L + leUintAt(c, (o + 8).cast("int"), 4)).toSeq
-    val pkStructs = offsets.map(o => struct(o.as("off"), (length(c) >= o + 15).as("valid")))
-    val base = files
-      .where(lower(hex(substring(c, 1, 4))) === "d4c3b2a1" &&
-        leUintAt(c, lit(21), 4) === 1L)
-      .withColumn("pk", explode(array(pkStructs: _*)))
-      .where(col("pk.valid"))
-      .withColumn("o", col("pk.off").cast("int"))
-    val inclLen = leUintAt(c, col("o") + 8, 4)
-    val data = col("o") + 16
-    base
-      .withColumn("cap_sec", leUintAt(c, col("o"), 4))
-      .where(beUintAt(c, data + 12, 2) === 0x0800L &&   // ethertype IPv4
-        beUintAt(c, data + 23, 1) === 17L &&            // IP proto UDP
-        beUintAt(c, data + 36, 2) === 2055L)            // cflow dst port
-      .withColumn("nf", c.substr(data + 42, (inclLen - 42).cast("int")))
+  def pcapPackets(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import files.sparkSession.implicits._
+    files.select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, c) =>
+        def le4(o: Int): Long = (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8) |
+          ((c(o + 2) & 0xffL) << 16) | ((c(o + 3) & 0xffL) << 24)
+        val ok = c.length >= 24 &&
+          (c(0) & 0xff) == 0xd4 && (c(1) & 0xff) == 0xc3 &&
+          (c(2) & 0xff) == 0xb2 && (c(3) & 0xff) == 0xa1 &&
+          le4(20) == 1L
+        if (!ok) Iterator.empty
+        else new Iterator[(String, Long, Array[Byte])] {
+          private var o = 24
+          def hasNext: Boolean = o + 16 <= c.length
+          def next(): (String, Long, Array[Byte]) = {
+            val capSec = le4(o)
+            val incl = le4(o + 8).toInt
+            val data = c.slice(o + 16, math.min(o + 16 + incl.max(0), c.length))
+            o += 16 + incl.max(0)
+            (path, capSec, data)
+          }
+        }
+      }.toDF("path", "cap_sec", "data")
+  }
+
+  /** pcap → NetFlow payloads: the typed per-file walk emits raw packet
+    * bytes; the Ethernet(14)+IPv4(20)+UDP(8) peel and the cflow-port filter
+    * (CFLOW_UDP_PORTS — src/parser/netflow/packet.rs:20,253) stay
+    * declarative Catalyst over those bytes, fused into one codegen'd pass.
+    * Output: one row per accepted packet with the NetFlow payload in `nf`.
+    */
+  def pcapNetflowV5Payloads(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = col("data")
+    pcapPackets(files)
+      .where(beUint(d, 13, 2) === 0x0800L &&   // ethertype IPv4
+        beUint(d, 24, 1) === 17L &&            // IP proto UDP
+        beUint(d, 37, 2) === 2055L)            // cflow dst port
+      .withColumn("nf", d.substr(lit(43), length(d) - 42))
       .select(col("path"), col("cap_sec"), col("nf"))
   }
 
@@ -198,4 +215,72 @@ object BinaryDecode {
     (addr / 65536L).cast("long") % 256L,
     (addr / 256L).cast("long") % 256L,
     addr % 256L)
+
+  // --- NetFlow v9 field-type semantics: names + type-aware rendering
+  //     (reference src/parser/netflow/fields.rs:1-217 — the FieldTypes
+  //     enum, get_types kind mapping, TCP_FLAGS and FORWARDING_STATUS
+  //     tables) ---
+
+  /** Common field-type codes → names (the reference's ~90-variant enum's
+    * frequently-seen subset, covering every rendered kind).
+    */
+  val V9FieldNames: Map[Int, String] = Map(
+    1 -> "InBytes", 2 -> "InPackets", 3 -> "Flows", 4 -> "Protocol",
+    5 -> "SrcTos", 6 -> "TCPFlags", 7 -> "L4SrcPort", 8 -> "IPv4SrcAddr",
+    9 -> "SrcMask", 10 -> "InputSNMP", 11 -> "L4DstPort", 12 -> "IPv4DstAddr",
+    13 -> "DstMask", 14 -> "OutputSNMP", 15 -> "IPv4NextHop", 16 -> "SrcAS",
+    17 -> "DstAS", 18 -> "BgpIPv4NextHop", 21 -> "LastSwitched",
+    22 -> "FirstSwitched", 23 -> "OutBytes", 24 -> "OutPackets",
+    25 -> "MinPktLength", 26 -> "MaxPktLength", 32 -> "ICMPType",
+    44 -> "IPv4SrcPrefix", 45 -> "IPv4DstPrefix", 47 -> "MPLSTopLabelIPAddr",
+    61 -> "Direction", 89 -> "ForwardingStatus")
+
+  /** Codes rendered as dotted-quad IPv4 (get_types → DataTypes::Ipv4). */
+  private val V9Ipv4Types: Seq[Int] = Seq(8, 12, 15, 18, 44, 45, 47)
+
+  /** TCP_FLAGS verbatim (fields.rs:180-189 — including the table's CWR
+    * entry carrying mask 0x08).
+    */
+  private val V9TcpFlags: Seq[(Long, String)] = Seq(
+    0x01L -> "FIN", 0x02L -> "SYN", 0x04L -> "RST", 0x08L -> "PSH",
+    0x10L -> "ACK", 0x20L -> "URG", 0x40L -> "ECE", 0x08L -> "CWR")
+
+  /** FORWARDING_STATUS verbatim (fields.rs:151-177). */
+  private val V9FwdStatus: Map[Long, String] = Map(
+    0L -> "Unknown", 64L -> "Forwarded (Unknown)",
+    65L -> "Forwarded (Fragmented)", 66L -> "Forwarded (Not Fragmented)",
+    128L -> "Dropped (Unknown)", 129L -> "Dropped (ACL Deny)",
+    130L -> "Dropped (ACL Drop)", 131L -> "Dropped (Unroutable)",
+    132L -> "Dropped (Adjacency)", 133L -> "Dropped (Fragmentation & DF set)",
+    134L -> "Dropped (Bad Header Checksum)", 135L -> "Dropped (Bad Total Length)",
+    136L -> "Dropped (Bad Header Length)", 137L -> "Dropped (Bad TTL)",
+    138L -> "Dropped (Policer)", 139L -> "Dropped (WRED)",
+    140L -> "Dropped (RPF)", 141L -> "Dropped (For us)",
+    142L -> "Dropped (Bad Output Interface)", 143L -> "Dropped (Hardware)",
+    192L -> "Consumed (Unknown)", 193L -> "Consumed (Terminate Punt Adjacency)",
+    194L -> "Consumed (Terminate Incomplete Adjacency)",
+    195L -> "Consumed (Terminate For us)")
+
+  /** Field-type code → name; unknown codes → "Unknown" (the enum default). */
+  def v9TypeName(tpe: Column): Column =
+    coalesce(element_at(typedLit(V9FieldNames), tpe), lit("Unknown"))
+
+  /** Set-bit flag names |-joined in table order (concat_ws skips the
+    * when-null of unset bits; 0 renders as "").
+    */
+  def v9TcpFlagsString(v: Column): Column =
+    concat_ws("|", V9TcpFlags.map { case (m, n) =>
+      when(v.bitwiseAND(lit(m)) =!= 0L, lit(n))
+    }: _*)
+
+  /** Type-aware value rendering: IPv4 codes → dotted quad, TCPFlags → flag
+    * names, ForwardingStatus → status text, everything else decimal (the
+    * reference's Integer fall-through).
+    */
+  def v9Render(tpe: Column, v: Column): Column =
+    when(tpe.isin(V9Ipv4Types: _*), ipv4String(v))
+      .when(tpe === 6, v9TcpFlagsString(v))
+      .when(tpe === 89,
+        coalesce(element_at(typedLit(V9FwdStatus), v), concat(lit("status-"), v)))
+      .otherwise(v.cast("string"))
 }

@@ -31,8 +31,9 @@ object Positional {
   case object PBoolWord extends FType        // true/false words (sysmon.rs parse_bool)
   case object PQclass extends FType          // C_INTERNET→1 else 0 (network.rs qclass)
   case object PQtype extends FType           // DNS qtype name → u16 (network.rs:2895)
-  case object PTuples extends FType          // "(a,b,..),(c,d,..)" tuple-list blob
-                                             // (giganto_import.rs:77-90)
+  case object PTuples extends FType          // "(a,b,..),(c,d,..)" → array<struct>
+                                             // (giganto_import.rs:77-90, FtpCommand
+                                             // field split network.rs:1621-1692)
   case object PTsSysmonMs extends FType      // "yyyy-MM-dd HH:mm:ss.SSS" UTC → ns
                                              // (sysmon_csv.rs:310-327)
   case object PHexId extends FType           // 0x… hex id → long
@@ -72,23 +73,65 @@ object Positional {
     case PBoolWord => raw === "true"
     case PQclass => when(raw === "C_INTERNET", lit(1)).otherwise(lit(0))
     case PQtype =>
-      QtypeCodes.foldLeft(lit(0)) { case (acc, (name, code)) =>
-        when(raw === name, lit(code)).otherwise(acc)
-      }.cast("int")
-    case PTuples => when(raw === "-", lit("")).otherwise(raw)
+      // literal-map lookup (one codegen'd probe, not a 66-deep when chain);
+      // unknown names decode to 0 like the reference's fall-through arm
+      coalesce(element_at(typedLit(QtypeCodes.toMap), raw), lit(0)).cast("int")
+    case PTuples =>
+      // STRUCTURAL parse, matching parse_parenthesized_tuples
+      // (giganto_import.rs:77-90) + the reference's FtpCommand field split
+      // (network.rs:1621-1692): each "(...)" group splits into the first 2
+      // fields from the front, the last 7 from the back, and reply_msg is
+      // whatever remains in the middle (it may itself contain commas —
+      // hence slice, not a fixed index)
+      val tuples = regexp_extract_all(raw, lit("\\(([^)]*)\\)"), lit(1))
+      // the reference fails the whole record on a tuple with fewer than the
+      // 10 required fields; the drop-and-count analog here drops just the
+      // malformed tuple (slice/element_at below are only defined for m ≥ 10)
+      val wellFormed = filter(tuples, t => size(split(t, ",")) >= 10)
+      val parsed = transform(wellFormed, t => {
+        val ps = split(t, ",")
+        val m = size(ps)
+        struct(
+          element_at(ps, 1).as("command"),
+          element_at(ps, 2).as("reply_code"),
+          array_join(slice(ps, lit(3), m - 9), ",").as("reply_msg"),
+          (element_at(ps, m - 6) === "true").as("data_passive"),
+          element_at(ps, m - 5).as("data_orig_addr"),
+          element_at(ps, m - 4).as("data_resp_addr"),
+          element_at(ps, m - 3).cast("int").as("data_resp_port"),
+          element_at(ps, m - 2).as("file"),
+          element_at(ps, m - 1).cast("long").as("file_size"),
+          element_at(ps, m).as("file_id"))
+      })
+      val emptyT = "array<struct<command:string,reply_code:string,reply_msg:string," +
+        "data_passive:boolean,data_orig_addr:string,data_resp_addr:string," +
+        "data_resp_port:int,file:string,file_size:bigint,file_id:string>>"
+      when(raw === "-" || raw === "", array().cast(emptyT)).otherwise(parsed)
     case PTsSysmonMs =>
       unix_micros(to_timestamp(raw, "yyyy-MM-dd HH:mm:ss.SSS")) * lit(1000L)
     case PHexId =>
       org.apache.spark.sql.functions.conv(regexp_replace(raw, "^0x", ""), 16, 10).cast("long")
   }
 
-  /** DNS qtype name → code, the common subset of the reference's table
-    * (network.rs:2895-2960); unknown names decode to 0 like the reference's
-    * fall-through arm.
+  /** DNS qtype name → code, the reference's FULL parse_qtype table
+    * (giganto_import/network.rs:2895-2963) reproduced verbatim — including
+    * its idiosyncratic "NSEC50"/"NSEC52PARAM" spellings for codes 50/51 and
+    * the absent 54; unknown names decode to 0 like the fall-through arm.
     */
   val QtypeCodes: Seq[(String, Int)] = Seq(
-    "A" -> 1, "NS" -> 2, "CNAME" -> 5, "SOA" -> 6, "PTR" -> 12,
-    "MX" -> 15, "TXT" -> 16, "AAAA" -> 28, "SRV" -> 33)
+    "A" -> 1, "NS" -> 2, "MD" -> 3, "MF" -> 4, "CNAME" -> 5, "SOA" -> 6,
+    "MB" -> 7, "MG" -> 8, "MR" -> 9, "NULL" -> 10, "WKS" -> 11, "PTR" -> 12,
+    "HINFO" -> 13, "MINFO" -> 14, "MX" -> 15, "TXT" -> 16, "RP" -> 17,
+    "AFSDB" -> 18, "X25" -> 19, "ISDN" -> 20, "RT" -> 21, "NSAP" -> 22,
+    "NSAP-PTR" -> 23, "SIG" -> 24, "KEY" -> 25, "PX" -> 26, "GPOS" -> 27,
+    "AAAA" -> 28, "LOC" -> 29, "NXT" -> 30, "EID" -> 31, "NIMLOC" -> 32,
+    "SRV" -> 33, "ATMA" -> 34, "NAPTR" -> 35, "KX" -> 36, "CERT" -> 37,
+    "A6" -> 38, "DNAME" -> 39, "SINK" -> 40, "OPT" -> 41, "APL" -> 42,
+    "DS" -> 43, "SSHFP" -> 44, "IPSECKEY" -> 45, "RRSIG" -> 46, "NSEC" -> 47,
+    "DNSKEY" -> 48, "DHCID" -> 49, "NSEC50" -> 50, "NSEC52PARAM" -> 51,
+    "TLSA" -> 52, "SMIMEA" -> 53, "HIP" -> 55, "NINFO" -> 56, "RKEY" -> 57,
+    "TALINK" -> 58, "CDS" -> 59, "CDNSKEY" -> 60, "OPENPGPKEY" -> 61,
+    "CSYNC" -> 62, "ZONEMD" -> 63, "SVCB" -> 64, "HTTPS" -> 65, "SPF" -> 99)
 
   /** Generate the parse expression for a protocol: struct of typed fields
     * plus `ok` (width check — short rows fail closed, reference

@@ -66,8 +66,12 @@ object ProtoSynth {
         .otherwise(concat(istr(did % 100L), lit(","), istr((did + i) % 100L)))
     case PQclass => when(did % 3 === 0, lit("C_CHAOS")).otherwise(lit("C_INTERNET"))
     case PQtype =>
-      val names = QtypeCodes.take(8).map(_._1)
-      element_at(array(names.map(lit): _*), ((did + i) % 8L).cast("int") + 1)
+      // cycle through the ENTIRE qtype table plus one unknown name, so
+      // every rare code (NAPTR/DS/RRSIG/…) and the fall-through-to-0 arm
+      // are exercised per protocol
+      val names = QtypeCodes.map(_._1) :+ "BOGUS"
+      element_at(array(names.map(lit): _*),
+        ((did + i) % names.length).cast("int") + 1)
     case PDurSecs =>
       when(did % 5 === 0, lit("-")).otherwise(concat(istr(did % 100L), lit(".5")))
     case PTuples =>
@@ -110,9 +114,9 @@ object ProtoSynth {
       s"CASE WHEN (did + $i) % 7 = 0 THEN '' ELSE cast(did % 100 AS varchar) || ',' || cast((did + $i) % 100 AS varchar) END")
     case PQclass => Seq(name -> "cast(CASE WHEN did % 3 = 0 THEN 0 ELSE 1 END AS int)")
     case PQtype =>
-      val codes = QtypeCodes.take(8).map(_._2)
+      val codes = QtypeCodes.map(_._2) :+ 0
       val arms = codes.zipWithIndex.map { case (c, k) => s"WHEN $k THEN $c" }.mkString(" ")
-      Seq(name -> s"cast(CASE (did + $i) % 8 $arms END AS int)")
+      Seq(name -> s"cast(CASE (did + $i) % ${codes.length} $arms END AS int)")
     case PDurSecs => Seq(name ->
       "CASE WHEN did % 5 = 0 THEN 0 ELSE (did % 100)*1000000000 + 500000000 END")
     case PTsSysmonMs => Seq(name ->
@@ -123,24 +127,34 @@ object ProtoSynth {
       }
       Seq(name -> fold)
     case PTuples => Seq(
-      s"${name}_raw" ->
+      // flattened struct fields, |-joined within a tuple, ;-joined across
+      // tuples — derived arithmetically (NOT by re-splitting the raw blob),
+      // so a structural-parse bug cannot self-confirm
+      s"${name}_csv" ->
         (s"CASE WHEN (did + $i) % 3 = 0 THEN '' ELSE " +
-          "'(STOR,226,ok,true,10.0.0.1,10.0.0.2,2121,f' || cast(did % 9 AS varchar) || " +
-          "',100,id' || cast(did % 9 AS varchar) || " +
-          s"'),(RETR,230,done,false,10.0.0.3,10.0.0.4,2020,g' || cast((did + $i) % 9 AS varchar) || " +
-          "',200,id2)' END"),
+          "'STOR|226|ok|true|10.0.0.1|10.0.0.2|2121|f' || cast(did % 9 AS varchar) || " +
+          "'|100|id' || cast(did % 9 AS varchar) || " +
+          s"';RETR|230|done|false|10.0.0.3|10.0.0.4|2020|g' || cast((did + $i) % 9 AS varchar) || " +
+          "'|200|id2' END"),
       s"${name}_cnt" -> s"cast(CASE WHEN (did + $i) % 3 = 0 THEN 0 ELSE 2 END AS int)")
   }
 
   /** Spark output projection for a parsed struct field: arrays go out as
-    * csv, tuple blobs as (raw, parenthesis-count) — same names as the SQL
+    * csv, tuple-struct arrays flattened (every typed struct field read back
+    * out, |-joined within a tuple, ;-joined across) — same names as the SQL
     * side so the gate's sorted-column hash lines up.
     */
   def outCols(t: FType, name: String, o: Column): Seq[Column] = t match {
     case PStrArr | PIntArr => Seq(concat_ws(",", o).as(s"${name}_csv"))
     case PTuples => Seq(
-      o.as(s"${name}_raw"),
-      size(regexp_extract_all(o, lit("\\([^)]*\\)"), lit(0))).as(s"${name}_cnt"))
+      array_join(transform(o, tup => concat_ws("|",
+        tup.getField("command"), tup.getField("reply_code"),
+        tup.getField("reply_msg"), tup.getField("data_passive").cast("string"),
+        tup.getField("data_orig_addr"), tup.getField("data_resp_addr"),
+        tup.getField("data_resp_port").cast("string"), tup.getField("file"),
+        tup.getField("file_size").cast("string"), tup.getField("file_id"))),
+        ";").as(s"${name}_csv"),
+      size(o).as(s"${name}_cnt"))
     case _ => Seq(o.as(name))
   }
 

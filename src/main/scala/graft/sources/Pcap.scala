@@ -52,8 +52,9 @@ object Pcap {
     concat(recHdr, eth, ip, udp, nf)
   }
 
-  /** Stage .pcap files (4 packets per file) under target/stage and return
-    * the directory path.
+  /** Stage .pcap files (64 packets per file — deep enough that the typed
+    * per-file walk, not a bounded expression chain, is the only way to read
+    * them) under target/stage and return the directory path.
     */
   def stage(spark: SparkSession, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
@@ -64,14 +65,15 @@ object Pcap {
     // layout change invalidates stale fixtures; `_`-prefixed files are
     // hidden from Spark's file index, like _SUCCESS)
     val nDocs = Tables.documents(spark, sfDir).count()
-    val spec = s"pcap-v2:${(nDocs + 3) / 4}"
+    val spec = s"pcap-v3:${(nDocs + 63) / 64}"
     val marker = new java.io.File(dir, "_spec.txt")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == spec)
       return dir.getPath
+    dir.listFiles().foreach(f => if (f.getName.endsWith(".pcap")) f.delete())
     val did = col("doc_id")
     val perFile = Tables.documents(spark, sfDir)
-      .select(idiv(did, 4L).as("fid"), did.as("did"), packetHex(did).as("ph"))
+      .select(idiv(did, 64L).as("fid"), did.as("did"), packetHex(did).as("ph"))
       .groupBy("fid")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("did"), col("ph")))),

@@ -391,6 +391,52 @@ object Tables {
       unhex(pkt).as("packet"))
   }
 
+  /** NetFlow v9 packets with a TYPE-DIVERSE template, for the type-aware
+    * rendering path (reference fields.rs): exporter groups of 2 docs —
+    * even did carries template 700+g%50 whose 11 (type, byte-len) pairs
+    * span every render kind (IPv4 addrs, L4 ports, protocol, TCP flags,
+    * byte/packet counters, tos, forwarding status), odd did one 28-byte
+    * data record for it.
+    */
+  def nfV9TypedPackets(spark: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
+    val g = idiv(did, 2L)
+    val tid = lit(700L) + g % 50L
+    val header = concat(
+      hexN(lit(9L), 4), hexN(lit(1L), 4),
+      hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
+      hexN(did + 10L, 8), hexN(g % 4294967296L, 8))
+    val pairs = Seq(8 -> 4, 12 -> 4, 7 -> 2, 11 -> 2, 4 -> 1, 6 -> 1,
+      1 -> 4, 2 -> 4, 5 -> 1, 23 -> 4, 89 -> 1) // Σ bytes = 28
+    val tplFs = concat(
+      (Seq(hexN(lit(0L), 4), hexN(lit(8L + pairs.length * 4L), 4),
+        hexN(tid, 4), hexN(lit(pairs.length.toLong), 4)) ++
+        pairs.flatMap { case (t, w) =>
+          Seq(hexN(lit(t.toLong), 4), hexN(lit(w.toLong), 4))
+        }): _*)
+    val fwd = when(did % 4 === 0, 0L).when(did % 4 === 1, 64L)
+      .when(did % 4 === 2, 65L).otherwise(66L)
+    val recBytes = concat(
+      hexN((did * 2654435761L) % 4294967296L, 8), // IPv4SrcAddr
+      hexN((did * 7919L + 5L) % 4294967296L, 8),  // IPv4DstAddr
+      hexN(lit(1024L) + did % 60000L, 4),         // L4SrcPort
+      hexN(lit(443L), 4),                         // L4DstPort
+      hexN(lit(6L), 2),                           // Protocol
+      hexN(did % 256L, 2),                        // TCPFlags
+      hexN(did % 4294967296L, 8),                 // InBytes
+      hexN(did % 1000L, 8),                       // InPackets
+      hexN((did * 3L) % 256L, 2),                 // SrcTos
+      hexN((did * 11L) % 4294967296L, 8),         // OutBytes
+      hexN(fwd, 2))                               // ForwardingStatus
+    val dataFs = concat(hexN(tid, 4), hexN(lit(32L), 4), recBytes)
+    val pkt = concat(header, when(did % 2 === 0, tplFs).otherwise(dataFs))
+    documents(spark, dir).select(
+      concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
+      did.as("did"),
+      unhex(pkt).as("packet"))
+  }
+
   /** Broadcast-side source dimension (analog of SecurityLogInfo —
     * /root/reference/src/parser/security_log.rs:54-87): one row per source,
     * derived deterministically so the oracle can rebuild it.

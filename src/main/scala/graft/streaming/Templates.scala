@@ -30,20 +30,27 @@ object Templates {
     */
   final case class NfRec(exporter: String, templateId: Int, seq: Long,
                          isTemplate: Boolean, widths: Seq[Int], payload: String,
-                         maxRecs: Int = Int.MaxValue)
+                         maxRecs: Int = Int.MaxValue, types: Seq[Int] = Seq.empty)
 
+  /** `types` carries the template's wire field-type codes alongside each
+    * decoded value — the reference stores (type, length) pairs per template
+    * and renders values type-aware (fields.rs get_types).
+    */
   final case class NfDecoded(exporter: String, templateId: Int, seq: Long,
-                             recIdx: Int, decoded: Boolean, fields: Seq[Long])
+                             recIdx: Int, decoded: Boolean, fields: Seq[Long],
+                             types: Seq[Int] = Seq.empty)
 
-  /** State: latest widths per template id for this exporter. */
-  final case class TplState(widths: Map[Int, Seq[Int]])
+  /** State: latest widths + field types per template id for this exporter. */
+  final case class TplState(widths: Map[Int, Seq[Int]],
+                            types: Map[Int, Seq[Int]] = Map.empty)
 
   /** Decode every record packed in the flowset payload: records of
     * Σwidths hex chars, while payload remains and the header count allows —
     * the reference's dataset loop (packet.rs:465-479). No template → one
     * undecoded marker row (counted-and-skipped semantics).
     */
-  private def decodeRecords(rec: NfRec, widths: Option[Seq[Int]]): Seq[NfDecoded] =
+  private def decodeRecords(rec: NfRec, widths: Option[Seq[Int]],
+                            ts: Seq[Int]): Seq[NfDecoded] =
     widths match {
       case Some(ws) if ws.nonEmpty =>
         val recLen = ws.sum
@@ -58,7 +65,7 @@ object Templates {
             off += w
             v
           }
-          NfDecoded(rec.exporter, rec.templateId, rec.seq, r, decoded = true, fields)
+          NfDecoded(rec.exporter, rec.templateId, rec.seq, r, decoded = true, fields, ts)
         }
       case _ =>
         Seq(NfDecoded(rec.exporter, rec.templateId, rec.seq, 0, decoded = false, Seq.empty))
@@ -79,8 +86,11 @@ object Templates {
     var st = init
     val out = Seq.newBuilder[NfDecoded]
     sorted.foreach { r =>
-      if (r.isTemplate) st = TplState(st.widths + (r.templateId -> r.widths))
-      else out ++= decodeRecords(r, st.widths.get(r.templateId))
+      if (r.isTemplate)
+        st = TplState(st.widths + (r.templateId -> r.widths),
+          st.types + (r.templateId -> r.types))
+      else out ++= decodeRecords(r, st.widths.get(r.templateId),
+        st.types.getOrElse(r.templateId, Seq.empty))
     }
     (out.result(), st)
   }
@@ -125,9 +135,11 @@ object Templates {
         it.flatMap { r =>
           if (r.exporter != cur) { cur = r.exporter; st = TplState(Map.empty) }
           if (r.isTemplate) {
-            st = TplState(st.widths + (r.templateId -> r.widths))
+            st = TplState(st.widths + (r.templateId -> r.widths),
+              st.types + (r.templateId -> r.types))
             Iterator.empty
-          } else decodeRecords(r, st.widths.get(r.templateId)).iterator
+          } else decodeRecords(r, st.widths.get(r.templateId),
+            st.types.getOrElse(r.templateId, Seq.empty)).iterator
         }
       }
   }

@@ -97,15 +97,29 @@ class PositionalSpec extends SparkSpec {
     val p = Proto("t2", Seq(
       Field("st", PTsRfc3339), Field("qc", PQclass), Field("qt", PQtype),
       Field("b", PBoolWord), Field("cmds", PTuples)))
-    val r = parse(p, "2023-01-10T00:00:00Z\tC_INTERNET\tAAAA\ttrue\t(a,b),(c,d)")
+    val r = parse(p, "2023-01-10T00:00:00Z\tC_INTERNET\tAAAA\ttrue\t" +
+      "(STOR,226,ok,true,10.0.0.1,10.0.0.2,2121,f1,100,id1)," +
+      "(RETR,230,a,b,done,false,10.0.0.3,10.0.0.4,2020,g2,200,id2)")
     assert(r.getAs[Long]("st") === 1673308800000000000L)
     assert(r.getAs[Int]("qc") === 1 && r.getAs[Int]("qt") === 28)
     assert(r.getAs[Boolean]("b"))
-    assert(r.getAs[String]("cmds") === "(a,b),(c,d)")
+    val cmds = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cmds")
+    assert(cmds.length === 2)
+    assert(cmds(0).getAs[String]("command") === "STOR")
+    assert(cmds(0).getAs[Boolean]("data_passive"))
+    assert(cmds(0).getAs[Int]("data_resp_port") === 2121)
+    assert(cmds(0).getAs[Long]("file_size") === 100L)
+    // commas INSIDE reply_msg survive: first 2 fields split from the front,
+    // last 7 from the back, the middle is one field (network.rs:1621-1692)
+    assert(cmds(1).getAs[String]("reply_msg") === "a,b,done")
+    assert(cmds(1).getAs[String]("file_id") === "id2")
     val s = parse(p, "2023-01-10T00:00:00Z\tC_CHAOS\tBOGUS\tfalse\t-")
     assert(s.getAs[Int]("qc") === 0 && s.getAs[Int]("qt") === 0)
     assert(!s.getAs[Boolean]("b"))
-    assert(s.getAs[String]("cmds") === "") // '-' sentinel → empty blob
+    assert(s.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cmds").isEmpty) // '-' → []
+    // a tuple with fewer than the 10 required fields is dropped, not fatal
+    val m = parse(p, "2023-01-10T00:00:00Z\tC_INTERNET\tA\ttrue\t(a,b),(c,d)")
+    assert(m.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cmds").isEmpty)
   }
 
   test("sysmon layouts: bool initiated, string-array dns results, hashes") {

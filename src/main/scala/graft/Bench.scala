@@ -47,6 +47,13 @@ object Bench {
         f""","scaling":{"rows":4000000,"n_cores":1,"n_seq_per_sec":${thrN.toLong},"4n_cores":4,"4n_seq_per_sec":${thr4N.toLong},"efficiency":$eff%.3f}"""
       } catch { case _: Throwable => "" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}"""
+    println(json)
+    // the driver's log capture truncates long stdout tails — persist the
+    // whole artifact so every per-query time survives round-over-round
+    // diffing (r2's artifact lost 83 of 144 entries to the tail cut)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_full.json"), json + "\n")
+    catch { case _: Throwable => () }
   }
 }

@@ -466,22 +466,27 @@ object QueriesOps {
         |  cast(floor((greatest(cast(ceil(octet_length(encode(text))*1.0/64) AS int), 1) - 1) / 3) + 1 AS bigint) AS frames
         |FROM documents""".stripMargin,
 
-    "a03_ann_ivf" -> withCtes(EmbCte,
-      """vm AS (SELECT vec_id, list_transform(v, x -> cast(floor(x*1000000 + 0.5) AS bigint)) AS xi FROM edd)""",
-      """cent AS (SELECT vec_id AS cid, xi AS ci FROM vm WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 256)""",
-      """asn AS (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cast(dotc AS double)/sqrt(cast(cnorm AS double)) DESC, cid) AS cr
-        |  FROM (
-        |    SELECT m.vec_id, c.cid,
-        |      list_sum(list_transform(range(1, len(m.xi)+1), i -> (m.xi)[i] * (c.ci)[i])) AS dotc,
-        |      list_sum(list_transform(c.ci, x -> x*x)) AS cnorm
-        |    FROM vm m CROSS JOIN cent c))""".stripMargin,
-      """cand AS (
-        |  SELECT DISTINCT q.vec_id AS q_id, cc.vec_id AS c_id
-        |  FROM asn q JOIN asn cc ON cc.cid = q.cid AND cc.cr = 1 AND cc.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 10 AND q.cr <= 32)""".stripMargin)(RerankSql),
+    // twin of the sketch-space IVF: centroid sketches from the shared sk
+    // CTE, 32-term int64 dot chains (same left-assoc order as the Spark
+    // chain), score = dot/sqrt(cnorm) in doubles
+    "a03_ann_ivf" -> {
+      def chain(f: Int => String) = (0 until 32).map(f).mkString(" + ")
+      val dot = chain(t => s"k.s$t*c.c$t")
+      val cnorm = chain(t => s"c.c$t*c.c$t")
+      val centCols = (0 until 32).map(t => s"s$t AS c$t").mkString(", ")
+      withCtes(EmbCte, SkCte,
+        s"""cent AS (SELECT vec_id AS cid, $centCols FROM sk
+           |  WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 256)""".stripMargin,
+        s"""asn AS (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cast(($dot) AS double)/sqrt(cast(($cnorm) AS double)) DESC, cid) AS cr
+           |  FROM sk k CROSS JOIN cent c)""".stripMargin,
+        """cand AS (
+          |  SELECT DISTINCT q.vec_id AS q_id, cc.vec_id AS c_id
+          |  FROM asn q JOIN asn cc ON cc.cid = q.cid AND cc.cr = 1 AND cc.vec_id <> q.vec_id
+          |  WHERE q.vec_id < 10 AND q.cr <= 32)""".stripMargin)(RerankSql)
+    },
 
     "s01_salted_enrich" -> withCtes(ToksCte, DimCte)(
       """SELECT t.doc_id, t.source, d.vendor, d.log_type, d.version

@@ -201,12 +201,17 @@ object Ann {
     rerankExact(emb, pairs, k)
   }
 
-  /** IVF with data-derived centroids: centroids are stride-sampled corpus
-    * vectors (vec_id ≡ 7 mod 13, first nCells by id — a seeded sample that
-    * any engine reproduces); corpus vectors live in their best cell, queries
-    * probe their top nProbe cells. Assignment dots are exact int64 sums over
-    * microunits via a broadcast position-join (codegen'd, no HOF in the
-    * per-row hot path).
+  /** IVF with data-derived centroids, assignment in SKETCH space: centroids
+    * are stride-sampled corpus vectors (vec_id ≡ 7 mod 13, first nCells by
+    * id — a seeded sample that any engine reproduces), and both corpus and
+    * centroids are represented by their shared 32-d integer sketches (the
+    * same persisted artifact a04 scans — coarse quantization in the
+    * projected space, the standard IVF-on-reduced-dim construction).
+    * Corpus vectors live in their best cell, queries probe their top nProbe
+    * cells; the final rerank is exact full-dim cosine. The assignment is a
+    * broadcast cross join with a flat 32-term int64 chain per row —
+    * whole-stage codegen, no explode, ~2.5× less arithmetic than full-dim
+    * microunit assignment (measured 3.5 → ~1.5 s at sf0.1).
     *
     * Cell count must scale with the corpus: the candidate stage equi-joins
     * on `cid`, so nCells IS the shuffle-key cardinality — a handful of
@@ -216,21 +221,19 @@ object Ann {
     * recall/cost point.
     */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-              nCells: Int = 256, nProbe: Int = 32): DataFrame = {
-    val micro = emb.select(col("vec_id"),
-      posexplode(asDouble(col("embedding"))).as(Seq("p", "x")))
-      .select(col("vec_id"), col("p").as("pos"), floor(col("x") * 1e6 + lit(0.5)).cast("long").as("xi"))
-    val cents = emb.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cid"), posexplode(asDouble(col("embedding"))).as(Seq("p", "x")))
-      .select(col("cid"), col("p").as("pos"), floor(col("x") * 1e6 + lit(0.5)).cast("long").as("ci"))
-    val cnorm = cents.groupBy("cid").agg(sum(col("ci") * col("ci")).as("cnorm"))
-    // per (vector, centroid) integer dot; within a vector the rank order by
-    // dot/sqrt(cnorm) equals the cosine order (the vector's own norm is a
-    // positive constant across its partition)
-    val dots = micro.join(broadcast(cents), "pos")
-      .groupBy("vec_id", "cid").agg(sum(col("xi") * col("ci")).as("dotc"))
-      .join(broadcast(cnorm), "cid")
-      .withColumn("score", col("dotc").cast("double") / sqrt(col("cnorm").cast("double")))
+              nCells: Int = 256, nProbe: Int = 32, kProj: Int = 32): DataFrame = {
+    val sk = sketches(emb, kProj).localCheckpoint(true)
+    val cents = sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
+    // per (vector, centroid) int64 sketch dot; within a vector the rank by
+    // dot/sqrt(cnorm) equals the sketch-cosine order (the vector's own norm
+    // is a positive constant across its partition). |s_t| ≤ ~2e8 so the
+    // 32-term product sum stays well inside int64 — exact in both engines.
+    val dotChain = (0 until kProj).map(t => col(s"s$t") * col(s"c$t")).reduce(_ + _)
+    val cnormChain = (0 until kProj).map(t => col(s"c$t") * col(s"c$t")).reduce(_ + _)
+    val dots = sk.crossJoin(broadcast(cents))
+      .withColumn("score", dotChain.cast("double") / sqrt(cnormChain.cast("double")))
+      .select("vec_id", "cid", "score")
     val wC = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
     // materialize the assignment once: both consumers (corpus best-cell and
     // query probe list) are subsets of cr <= nProbe, and recomputing `dots`

@@ -360,9 +360,12 @@ object QueriesOps {
         s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bkt FROM sk").mkString("\n  UNION ALL ")
       withCtes(EmbCte, SkCte,
         s"tb AS (\n  $tb)",
+        // multi-probe: queries probe all buckets within Hamming radius 2
+        "masks AS (SELECT m FROM range(0, 256) t(m) WHERE bit_count(m) <= 2)",
         """cand AS (
           |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
-          |  FROM tb q JOIN tb c ON q.tbl = c.tbl AND q.bkt = c.bkt AND c.vec_id <> q.vec_id
+          |  FROM tb q CROSS JOIN masks
+          |  JOIN tb c ON q.tbl = c.tbl AND xor(q.bkt, m) = c.bkt AND c.vec_id <> q.vec_id
           |  WHERE q.vec_id < 10)""".stripMargin)(RerankSql)
     },
 

@@ -176,13 +176,24 @@ object Ann {
     topKPerQuery(scored.select("q_id", "c_id", "cos"), k)
   }
 
-  /** Multi-table LSH: table t's bucket = sign bits of sketch rows
-    * t·bits..t·bits+bits-1; candidates = union over tables, deduped. Key
-    * cardinality is tables·2^bits — sized so no single join key funnels the
-    * corpus at scale.
+  /** Multi-table multi-probe LSH: table t's bucket = sign bits of sketch
+    * rows t·bits..t·bits+bits-1; candidates = union over tables, deduped.
+    * Key cardinality is tables·2^bits — sized so no single join key funnels
+    * the corpus at scale.
+    *
+    * Multi-probe (Lv et al., VLDB 2007): each QUERY additionally probes
+    * every bucket within Hamming distance `probeRadius` of its own — the
+    * corpus side still emits one bucket per table, so the index size and
+    * the shuffle-key cardinality are unchanged; only the query fan-out
+    * grows (Σ_{d≤r} C(bits,d) probe rows per query per table — 37 at
+    * bits=8, r=2). On an isotropic corpus where a neighbor bit agrees with
+    * probability p ≈ 0.6–0.65, radius 2 lifts the per-table hit rate from
+    * p^8 ≈ 0.03 to Σ_{d≤2} C(8,d)·p^(8-d)·(1-p)^d ≈ 0.35 — measured
+    * recall@5 0.07 → ≥0.8 over 4 tables (AnnRecallSpec) at a candidate
+    * fraction that still vanishes as 2^bits is sized up with the corpus.
     */
   def multiTableLshTopK(emb: DataFrame, queryFilter: Column, k: Int,
-                        tables: Int = 4, bits: Int = 8): DataFrame = {
+                        tables: Int = 4, bits: Int = 8, probeRadius: Int = 2): DataFrame = {
     val kProj = tables * bits
     val sk = sketches(emb, kProj)
     def bucket(t: Int): Column =
@@ -193,8 +204,10 @@ object Ann {
         struct(lit(t).as("tbl"), bucket(t).as("bkt"))): _*)).as("b"))
       .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bkt").as("bkt"))
     val qIds = emb.where(queryFilter).select(col("vec_id").as("q_id"))
+    val masks = (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= probeRadius)
     val qb = tb.join(qIds, tb("vec_id") === qIds("q_id"))
-      .select(col("q_id"), col("tbl"), col("bkt"))
+      .select(col("q_id"), col("tbl"),
+        explode(array(masks.map(m => col("bkt").bitwiseXOR(lit(m.toLong))): _*)).as("bkt"))
     val pairs = qb.join(tb, Seq("tbl", "bkt"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id")).distinct()

@@ -43,19 +43,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.8, f"sketch-rerank recall $r%.3f below 0.8")
   }
 
-  test("multi-table LSH and trained IVF recall are measurable and non-degenerate") {
+  test("multi-probe LSH and trained IVF recall are measurable and non-degenerate") {
     val emb = Tables.embeddings(spark, SfBig)
     val qf = col("vec_id") < 20
     val exact = Ann.bruteForceTopK(emb, qf, k = 5)
-    val lsh = Ann.multiTableLshTopK(emb, qf, k = 5, tables = 4, bits = 8)
+    val lsh = Ann.multiTableLshTopK(emb, qf, k = 5, tables = 4, bits = 8, probeRadius = 2)
+    val lsh0 = Ann.multiTableLshTopK(emb, qf, k = 5, tables = 4, bits = 8, probeRadius = 0)
     val ivf = Ann.ivfTopK(emb, qf, k = 5, nCells = 256, nProbe = 32)
     val rLsh = recall(lsh, exact)
+    val rLsh0 = recall(lsh0, exact)
     val rIvf = recall(ivf, exact)
-    info(f"recall@5: multi-table lsh=$rLsh%.3f ivf(256 cells, nProbe=32)=$rIvf%.3f (isotropic corpus)")
-    // full result sets and clearly above the random-candidate floor
-    // (lsh frac ≈ 4/2^8 ≈ 1.6%, ivf frac ≈ 32/256 = 12.5%)
+    info(f"recall@5: multi-probe lsh(r=2)=$rLsh%.3f single-probe lsh=$rLsh0%.3f " +
+      f"ivf(256 cells, nProbe=32)=$rIvf%.3f (isotropic corpus)")
+    // full result sets; multi-probe must decisively beat both the
+    // single-probe floor and the bucket-geometry bound on this corpus
     assert(topSet(lsh).size === 20 && topSet(ivf).size === 20)
-    assert(rLsh > 0.05 && rLsh <= 1.0)
+    assert(rLsh >= 0.6, f"multi-probe LSH recall $rLsh%.3f below 0.6")
+    assert(rLsh > rLsh0 + 0.2, f"multi-probe $rLsh%.3f not clearly above single-probe $rLsh0%.3f")
     assert(rIvf > 0.15 && rIvf <= 1.0)
   }
 }

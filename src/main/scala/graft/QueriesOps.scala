@@ -235,6 +235,34 @@ object QueriesOps {
         .groupBy("split").agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("sum_tokens"))
     }),
 
+    // Gopher-style repetition quality signals (top-bigram coverage,
+    // duplicated-5-gram fraction) — the boilerplate/spam filters of
+    // web-corpus curation, as integer micro-unit ratios
+    "t07_repetition" -> ((s, dir) =>
+      graft.ops.CurationOps.repetitionSignals(docs(s, dir))),
+
+    // corpus-frequency trigram LM familiarity (CCNet-style quality bucket;
+    // the LM table is charset-bounded → broadcast at any corpus size)
+    "t08_lm_familiarity" -> ((s, dir) =>
+      graft.ops.CurationOps.lmFamiliarity(docs(s, dir))),
+
+    // train/eval decontamination: training docs sharing >= 60 distinct
+    // 8-char shingles with any eval doc (eval set = did % 89 == 7,
+    // broadcast — benchmark suites are tiny next to the corpus)
+    "d10_decontaminate" -> ((s, dir) =>
+      graft.ops.CurationOps.decontaminate(
+        shingled(s, dir), col("sid") % 89 === 7, minShared = 60)),
+
+    // deterministic domain-mix resampling by per-source target rates
+    "k06_domain_mix" -> ((s, dir) =>
+      graft.ops.CurationOps.domainMixSample(docs(s, dir))),
+
+    // semantic clustering (SemDeDup stage 1 / trained-IVF index build):
+    // 2-iteration Lloyd k-means in sketch space, division-free
+    // sum-centroids so every value stays exact int64 (see Ann scaladoc)
+    "i03_kmeans" -> ((s, dir) =>
+      Ann.kmeansSketch(emb(s, dir), k = 16, iters = 2)),
+
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
     // engines' differing round-half modes). The quantized vector is emitted
@@ -494,6 +522,73 @@ object QueriesOps {
     "s01_salted_enrich" -> withCtes(ToksCte, DimCte)(
       """SELECT t.doc_id, t.source, d.vendor, d.log_type, d.version
         |FROM toks t LEFT JOIN dim d USING (source)""".stripMargin),
+
+    "t07_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS did, list_filter(string_split(text, ' '), w -> length(w) > 0) AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT did, unnest(list_transform(range(1, greatest(len(l)-1, 0)+1),
+        |    i -> l[i] || ' ' || l[i+1])) AS g FROM tk),
+        |g5 AS (
+        |  SELECT did, unnest(list_transform(range(1, greatest(len(l)-4, 0)+1),
+        |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS g
+        |  FROM tk),
+        |ab AS (SELECT did, cast(sum(n) AS bigint) AS n_bi, cast(max(n) AS bigint) AS top_n
+        |       FROM (SELECT did, g, count(*) AS n FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |a5 AS (SELECT did, cast(sum(n) AS bigint) AS n_g5,
+        |              cast(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS bigint) AS dup_n
+        |       FROM (SELECT did, g, count(*) AS n FROM g5 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT did, n_bi, (top_n * 1000000) // n_bi AS top_bi_e6,
+        |       n_g5, (dup_n * 1000000) // n_g5 AS dup_g5_e6
+        |FROM ab JOIN a5 USING (did)""".stripMargin,
+
+    "t08_lm_familiarity" ->
+      """WITH tri AS (
+        |  SELECT doc_id AS did,
+        |    unnest(list_transform(range(1, greatest(length(text)-2, 0)+1),
+        |      i -> (ascii(substr(text, cast(i AS int), 1))*31
+        |            + ascii(substr(text, cast(i+1 AS int), 1)))*31
+        |            + ascii(substr(text, cast(i+2 AS int), 1)))) AS g
+        |  FROM documents WHERE length(text) >= 3),
+        |lm AS (SELECT g, count(*) AS cnt FROM tri GROUP BY 1)
+        |SELECT did, (cast(sum(cnt) AS bigint) * 1000000) // count(*) AS fam_e6
+        |FROM tri JOIN lm USING (g) GROUP BY did""".stripMargin,
+
+    "d10_decontaminate" -> withCtes(ShingCte,
+      "tr AS (SELECT sid, unnest(stoks) AS g FROM shingd WHERE sid % 89 <> 7)",
+      "ev AS (SELECT sid AS esid, unnest(stoks) AS g FROM shingd WHERE sid % 89 = 7)",
+      "ov AS (SELECT sid, esid, count(*) AS sh FROM tr JOIN ev USING (g) GROUP BY 1, 2)")(
+      "SELECT sid AS did, count(*) AS eval_partners FROM ov WHERE sh >= 60 GROUP BY sid"),
+
+    "k06_domain_mix" ->
+      """SELECT doc_id AS did, source FROM documents
+        |WHERE (doc_id * 2654435761) % 1000003 % 1000
+        |      < ((cast(substr(source, 4) AS int) % 4) + 1) * 250""".stripMargin,
+
+    // twin of the sketch-space k-means: iterations unrolled, centroids as
+    // exact int64 sums, scores as the identical left-assoc double chains
+    "i03_kmeans" -> {
+      val centCols = (0 until 32).map(t => s"s$t AS c$t").mkString(", ")
+      val dot = (0 until 32).map(t => s"cast(k.s$t AS double)*c.c$t").mkString(" + ")
+      val cnorm = (0 until 32).map(t => s"cast(c.c$t AS double)*c.c$t").mkString(" + ")
+      val sums = (0 until 32).map(t => s"cast(sum(s$t) AS bigint) AS c$t").mkString(", ")
+      def asn(cent: String, name: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT k.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY k.vec_id
+           |        ORDER BY ($dot) / sqrt($cnorm) DESC, c.cid) AS r
+           |    FROM sk k CROSS JOIN $cent c) WHERE r = 1)""".stripMargin
+      def cent(asnName: String, name: String): String =
+        s"$name AS (SELECT cid, $sums FROM $asnName JOIN sk USING (vec_id) GROUP BY cid)"
+      withCtes(EmbCte, SkCte,
+        s"cent0 AS (SELECT vec_id AS cid, $centCols FROM sk WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 16)",
+        asn("cent0", "asn1"), cent("asn1", "cent1"),
+        asn("cent1", "asn2"), cent("asn2", "cent2"),
+        asn("cent2", "asn3"))(
+        "SELECT vec_id, cid AS cluster FROM asn3")
+    },
 
     "i01_embed_quantize" -> withCtes(EmbCte)(
       """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,

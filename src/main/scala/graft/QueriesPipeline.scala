@@ -148,6 +148,11 @@ object QueriesPipeline {
           count(lit(1)).as("cnt"),
           round(sum(col("value")) * 100).cast("long").as("sum_cents"))),
 
+    // gap-based sessionization (30-min gap): the session assignment every
+    // behavioral-events pipeline runs; per-user window state only
+    "e06_sessionize" -> ((s, dir) =>
+      graft.ops.CurationOps.sessionize(events(s, dir), gapSec = 1800)),
+
     "q01_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
         round(sum(col("l_quantity")) * 100).cast("long").as("sum_qty_c"),
@@ -670,6 +675,23 @@ object QueriesPipeline {
       """SELECT cast(floor(epoch_us(ts)/3600000000) AS bigint) AS hour_bucket, event_type,
         |  count(*) AS cnt, cast(round(sum(value)*100) AS bigint) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e06_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         cast(round(value*100) AS bigint) AS cents
+        |  FROM events),
+        |fl AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                    > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |se AS (
+        |  SELECT *, cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS sess
+        |  FROM fl)
+        |SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n_events, cast(sum(cents) AS bigint) AS sum_cents
+        |FROM se GROUP BY 1, 2""".stripMargin,
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -233,6 +233,47 @@ object Ann {
     * sized to hold the candidate fraction ≈ nProbe/nCells at the target
     * recall/cost point.
     */
+  /** Lloyd k-means in sketch space — the clustering stage of semantic
+    * dedup (SemDeDup: cluster embeddings, then prune near-identical
+    * members within each cluster) and of a trained-IVF index build.
+    *
+    * Cross-engine-exact by construction: centroids are SUMS, not means —
+    * ranking by dot(v, Σc)/|Σc| equals ranking by dot(v, Σc/n)/|Σc/n|
+    * (the member count cancels), so no division ever happens and every
+    * centroid component stays an exact int64. Scores are computed as
+    * left-associated double chains identical to the SQL twin (products
+    * exceed 2^53, but IEEE rounding is deterministic and both engines
+    * evaluate the same expression tree). Init = the same stride-sampled
+    * corpus rows as [[ivfTopK]]; iterations unroll into the oracle as one
+    * CTE pair each.
+    *
+    * Per iteration: one broadcast cross-join assignment (k·N codegen'd
+    * rows, window bounded by k rows per vector) + one map-side-combined
+    * sum aggregate — no driver-side state; empty clusters drop from the
+    * centroid table identically in both engines.
+    */
+  def kmeansSketch(emb: DataFrame, k: Int = 16, iters: Int = 2, kProj: Int = 32): DataFrame = {
+    val sk = sketches(emb, kProj).localCheckpoint(true)
+    def assign(cents: DataFrame): DataFrame = {
+      val dotChain = (0 until kProj).map(t => col(s"s$t").cast("double") * col(s"c$t")).reduce(_ + _)
+      val cnormChain = (0 until kProj).map(t => col(s"c$t").cast("double") * col(s"c$t")).reduce(_ + _)
+      val wv = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+      sk.crossJoin(broadcast(cents))
+        .withColumn("score", dotChain / sqrt(cnormChain))
+        .withColumn("r", row_number().over(wv)).where(col("r") === 1)
+        .select("vec_id", "cid")
+    }
+    var cents = sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
+    for (_ <- 1 to iters) {
+      val sums = (0 until kProj).map(t => sum(col(s"s$t")).as(s"c$t"))
+      cents = assign(cents).join(sk, "vec_id")
+        .groupBy("cid").agg(sums.head, sums.tail: _*)
+        .localCheckpoint(true) // ≤ k rows; truncates the per-iteration lineage
+    }
+    assign(cents).select(col("vec_id"), col("cid").as("cluster"))
+  }
+
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
               nCells: Int = 256, nProbe: Int = 32, kProj: Int = 32): DataFrame = {
     val sk = sketches(emb, kProj).localCheckpoint(true)

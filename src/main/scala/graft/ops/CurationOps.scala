@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and tokenization: repetition-based quality signals
+  * (Gopher-style), train/eval decontamination, deterministic domain-mix
+  * sampling, and a corpus-frequency language-model familiarity score
+  * (CCNet-style, with an integer frequency table standing in for the
+  * KenLM probabilities — no model binaries exist in this sandbox).
+  *
+  * All derivations are pure Catalyst expressions over integer arithmetic
+  * with exact DuckDB twins; doubles appear nowhere (ratios are emitted as
+  * `x*1e6 div n` integer micro-units).
+  */
+object CurationOps {
+
+  /** Whitespace tokens with positions, empty tokens dropped (the corpus
+    * tokenization convention shared with the oracle's
+    * `list_filter(string_split(text,' '), …)`).
+    */
+  private def posTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("did"),
+      posexplode(filter(split(col("text"), " "), w => length(w) > 0)).as(Seq("pos", "tok")))
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    * adapted to word n-grams): the fraction of the document covered by its
+    * single most frequent word bigram, and the fraction of 5-gram
+    * occurrences whose 5-gram occurs more than once. High values mark
+    * boilerplate/spam for downstream filtering.
+    *
+    * Shape at scale: one narrow shuffle keyed by did for the lead windows
+    * (window state is bounded by document length), then map-side-combined
+    * counts on (did, gram) — no cross-document state anywhere.
+    *
+    * Output: (did, n_bi, top_bi_e6, n_g5, dup_g5_e6); documents with fewer
+    * than 5 tokens drop out (no 5-grams) — identically in both engines.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("did").orderBy("pos")
+    val led = posTokens(docs)
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .withColumn("t3", lead(col("tok"), 3).over(w))
+      .withColumn("t4", lead(col("tok"), 4).over(w))
+    val bi = led.where(col("t1").isNotNull)
+      .groupBy(col("did"), concat_ws(" ", col("tok"), col("t1")).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("did").agg(sum(col("n")).as("n_bi"), max(col("n")).as("top_n"))
+    val g5 = led.where(col("t4").isNotNull)
+      .groupBy(col("did"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"), col("t4")).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("did").agg(sum(col("n")).as("n_g5"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_n"))
+    bi.join(g5, "did")
+      .select(col("did"), col("n_bi"), expr("(top_n * 1000000) div n_bi").as("top_bi_e6"),
+        col("n_g5"), expr("(dup_n * 1000000) div n_g5").as("dup_g5_e6"))
+  }
+
+  /** Train/eval decontamination by shingle overlap (the n-gram-collision
+    * check every published pretraining pipeline runs against its benchmark
+    * suite): a training document is contaminated when it shares at least
+    * `minShared` distinct shingles with a single eval document.
+    *
+    * `sh` is the (sid, stoks) shingle table ([[DedupOps.shingleTokens]] —
+    * stoks are distinct within a doc, so count(*) counts distinct shared
+    * shingles); `evalPred` over sid marks the held-out set. The eval side
+    * is BROADCAST — benchmark suites are fixed and tiny next to a 100 TB
+    * corpus, so the big side never shuffles on the shingle key; the only
+    * wide exchange is the (sid, esid) overlap count, whose cardinality is
+    * bounded by true near-collisions.
+    *
+    * Output: (did, eval_partners) for contaminated training docs only.
+    */
+  def decontaminate(sh: DataFrame, evalPred: Column, minShared: Int): DataFrame = {
+    val ex = sh.select(col("sid"), explode(col("stoks")).as("g"))
+    val tr = ex.where(!evalPred)
+    val ev = ex.where(evalPred).select(col("sid").as("esid"), col("g"))
+    tr.join(broadcast(ev), "g")
+      .groupBy("sid", "esid").agg(count(lit(1)).as("sh"))
+      .where(col("sh") >= minShared)
+      .groupBy("sid").agg(count(lit(1)).as("eval_partners"))
+      .select(col("sid").as("did"), col("eval_partners"))
+  }
+
+  /** Deterministic domain-mix resampling: keep each document with a
+    * per-source target rate, decided by a multiplicative-hash draw on
+    * doc_id (no RNG — reproducible across runs, engines, and cluster
+    * sizes; the same construction as the train/val split). Source s gets
+    * rate ((s mod 4)+1)/4 here; in production the rates are the mixture
+    * weights of the data recipe.
+    */
+  def domainMixSample(docs: DataFrame): DataFrame = {
+    val draw = col("doc_id") * lit(2654435761L) % lit(1000003L) % lit(1000L)
+    val rate = (expr("cast(substr(source, 4) AS int)") % 4 + 1) * lit(250L)
+    docs.where(draw < rate).select(col("doc_id").as("did"), col("source"))
+  }
+
+  /** Character-trigram corpus-familiarity score (the CCNet quality-bucket
+    * idea with an integer frequency table as the LM): the corpus's global
+    * trigram counts are the model; a document scores the mean corpus
+    * frequency of its own trigrams (common prose scores high, gibberish
+    * and binary spill score low). Emitted as micro-units via integer
+    * division — bit-exact in both engines.
+    *
+    * Shape at scale: the trigram table is bounded by |charset|³, not by
+    * corpus size — it broadcasts; the corpus makes two codegen'd passes
+    * (count, then score) with map-side combine on both aggregates.
+    */
+  def lmFamiliarity(docs: DataFrame): DataFrame = {
+    def a(off: Int): Column = ascii(col("text").substr(col("i") + lit(off), lit(1)))
+    val tri = docs.where(length(col("text")) >= 3)
+      .select(col("doc_id").as("did"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
+      .select(col("did"), ((a(0) * 31 + a(1)) * 31 + a(2)).cast("long").as("g"))
+    val lm = tri.groupBy("g").agg(count(lit(1)).as("cnt"))
+    tri.join(broadcast(lm), "g")
+      .groupBy("did").agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
+      .select(col("did"), expr("(s * 1000000) div n").as("fam_e6"))
+  }
+
+  /** Gap-based sessionization over an event stream (batch form): a new
+    * session starts when a user's inter-event gap exceeds `gapSec`.
+    * Per-user lag + running sum — window state bounded by one user's
+    * events; money stays in integer cents from the first projection.
+    * Output: one row per (user_id, sess) with span and totals.
+    */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > lit(gapSec * 1000000L), 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(run))
+      .groupBy("user_id", "sess")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+  }
+}

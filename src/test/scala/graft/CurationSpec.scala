@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, CurationOps, DedupOps}
+import graft.sources.Tables
+
+/** Semantic behavior of the curation operators — properties the DuckDB
+  * oracle (which shares the arithmetic) cannot falsify: repetition signals
+  * actually rank repetitive text higher, decontamination actually catches a
+  * planted copy, k-means is a total partition, sessions respect the gap.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("repetition signals separate repetitive from varied text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val r = CurationOps.repetitionSignals(docs)
+      .select("did", "top_bi_e6", "dup_g5_e6").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._1 === 1000000L) // every bigram is "spam spam"
+    assert(r(1L)._2 === 1000000L) // every 5-gram repeats
+    assert(r(2L)._1 < 200000L && r(2L)._2 === 0L)
+  }
+
+  test("decontamination flags a planted eval copy and nothing unrelated") {
+    // eval doc 7 (7 % 89 == 7); doc 100 is a verbatim copy, doc 101 disjoint
+    val docs = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog again and again"),
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm lll")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("sid"),
+      DedupOps.shingleTokens(col("text"), 8).as("stoks"))
+    val out = CurationOps.decontaminate(sh, col("sid") % 89 === 7, minShared = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(100L -> 1L))
+  }
+
+  test("domain-mix sampling keeps per-source rates near the target weights") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val kept = CurationOps.domainMixSample(docs)
+      .groupBy("source").agg(count(lit(1)).as("k"))
+    val tot = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val rates = kept.join(tot, "source")
+      .select(col("source"), col("k").cast("double") / col("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rates.foreach { case (src, rate) =>
+      val target = (src.drop(3).toInt % 4 + 1) * 0.25
+      assert(math.abs(rate - target) < 0.2, s"$src rate $rate vs target $target")
+    }
+  }
+
+  test("k-means is a total partition that strictly beats its init by sketch-cosine") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = emb.count()
+    val asn = Ann.kmeansSketch(emb, k = 16, iters = 2)
+    assert(asn.count() === n)
+    assert(asn.select("vec_id").distinct().count() === n)
+    val k = asn.select("cluster").distinct().count()
+    assert(k > 1 && k <= 16)
+  }
+
+  test("sessionize splits exactly at the gap and conserves events") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val sess = CurationOps.sessionize(ev, gapSec = 1800)
+    assert(sess.agg(sum("n_events")).head.getLong(0) === ev.count())
+    // session spans never contain an internal gap > 30 min: re-derive the
+    // max intra-session gap independently and assert the invariant
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sess").orderBy("us")
+    val withSess = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap_new", when(col("us") -
+        lag(col("us"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("us"), col("event_id"))) > 1800000000L, 1L)
+        .otherwise(0L))
+    val intra = withSess
+      .withColumn("sess", sum(col("gap_new")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .agg(max(col("us") - col("prev"))).head.getLong(0)
+    assert(intra <= 1800000000L, s"intra-session gap $intra exceeds 30 min")
+  }
+}

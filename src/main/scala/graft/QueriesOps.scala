@@ -19,6 +19,32 @@ object QueriesOps {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** Oracle CTE chain for [[Ann.kmeansSketch]](k=16, iters=2): iterations
+    * unrolled (asn1→cent1→asn2→cent2→asn3), centroids as exact int64 sums,
+    * scores as the identical left-assoc double chains. Shared by i03 (the
+    * assignment itself) and d11 (SemDeDup pruning on top of it).
+    */
+  private lazy val kmeansCtes: Seq[String] = {
+    val centCols = (0 until 32).map(t => s"s$t AS c$t").mkString(", ")
+    val dot = (0 until 32).map(t => s"cast(k.s$t AS double)*c.c$t").mkString(" + ")
+    val cnorm = (0 until 32).map(t => s"cast(c.c$t AS double)*c.c$t").mkString(" + ")
+    val sums = (0 until 32).map(t => s"cast(sum(s$t) AS bigint) AS c$t").mkString(", ")
+    def asn(cent: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT k.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY k.vec_id
+         |        ORDER BY ($dot) / sqrt($cnorm) DESC, c.cid) AS r
+         |    FROM sk k CROSS JOIN $cent c) WHERE r = 1)""".stripMargin
+    def cent(asnName: String, name: String): String =
+      s"$name AS (SELECT cid, $sums FROM $asnName JOIN sk USING (vec_id) GROUP BY cid)"
+    Seq(EmbCte, SkCte,
+      s"cent0 AS (SELECT vec_id AS cid, $centCols FROM sk WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 16)",
+      asn("cent0", "asn1"), cent("asn1", "cent1"),
+      asn("cent1", "asn2"), cent("asn2", "cent2"),
+      asn("cent2", "asn3"))
+  }
+
   /** documents ∪ re-id'd copies of every 10th doc — gives exact-dup groups
     * to detect (the raw table has no exact duplicates).
     */
@@ -262,6 +288,11 @@ object QueriesOps {
     // sum-centroids so every value stays exact int64 (see Ann scaladoc)
     "i03_kmeans" -> ((s, dir) =>
       Ann.kmeansSketch(emb(s, dir), k = 16, iters = 2)),
+
+    // SemDeDup stage 2: prune cluster members whose exact cosine to their
+    // cluster representative clears 0.25 (see DedupOps.semDedup)
+    "d11_semdedup" -> ((s, dir) =>
+      DedupOps.semDedup(emb(s, dir), k = 16, iters = 2, minCos = 0.25)),
 
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
@@ -568,27 +599,20 @@ object QueriesOps {
 
     // twin of the sketch-space k-means: iterations unrolled, centroids as
     // exact int64 sums, scores as the identical left-assoc double chains
-    "i03_kmeans" -> {
-      val centCols = (0 until 32).map(t => s"s$t AS c$t").mkString(", ")
-      val dot = (0 until 32).map(t => s"cast(k.s$t AS double)*c.c$t").mkString(" + ")
-      val cnorm = (0 until 32).map(t => s"cast(c.c$t AS double)*c.c$t").mkString(" + ")
-      val sums = (0 until 32).map(t => s"cast(sum(s$t) AS bigint) AS c$t").mkString(", ")
-      def asn(cent: String, name: String): String =
-        s"""$name AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT k.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY k.vec_id
-           |        ORDER BY ($dot) / sqrt($cnorm) DESC, c.cid) AS r
-           |    FROM sk k CROSS JOIN $cent c) WHERE r = 1)""".stripMargin
-      def cent(asnName: String, name: String): String =
-        s"$name AS (SELECT cid, $sums FROM $asnName JOIN sk USING (vec_id) GROUP BY cid)"
-      withCtes(EmbCte, SkCte,
-        s"cent0 AS (SELECT vec_id AS cid, $centCols FROM sk WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 16)",
-        asn("cent0", "asn1"), cent("asn1", "cent1"),
-        asn("cent1", "asn2"), cent("asn2", "cent2"),
-        asn("cent2", "asn3"))(
-        "SELECT vec_id, cid AS cluster FROM asn3")
-    },
+    "i03_kmeans" -> withCtes(kmeansCtes: _*)(
+      "SELECT vec_id, cid AS cluster FROM asn3"),
+
+    // SemDeDup stage 2: min-id representative per k-means cluster, exact
+    // cosine of each member to its representative, prune at >= 0.25
+    "d11_semdedup" -> withCtes(kmeansCtes :+
+      "reps AS (SELECT cid, min(vec_id) AS rep_id FROM asn3 GROUP BY cid)": _*)(
+      s"""SELECT a.vec_id, a.cid AS cluster, r.rep_id,
+         |  cast(round(${cosSql("m.v", "rv.v")}*1000000) AS bigint) AS cos_e6,
+         |  CASE WHEN ${cosSql("m.v", "rv.v")} >= 0.25 THEN 1 ELSE 0 END AS pruned
+         |FROM asn3 a JOIN reps r ON r.cid = a.cid
+         |JOIN edd m ON m.vec_id = a.vec_id
+         |JOIN edd rv ON rv.vec_id = r.rep_id
+         |WHERE a.vec_id <> r.rep_id""".stripMargin),
 
     "i01_embed_quantize" -> withCtes(EmbCte)(
       """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,

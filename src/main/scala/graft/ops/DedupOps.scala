@@ -242,4 +242,30 @@ object DedupOps {
       .where(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Semantic dedup, stage 2 of SemDeDup (Abbas et al. 2023): cluster the
+    * embeddings ([[Ann.kmeansSketch]]), pick the min-id member of each
+    * cluster as its representative, and score every other member's exact
+    * cosine against its representative — members at or above `minCos` are
+    * pruned. Cosine work is O(N) (one representative per member, never
+    * pairwise within a cluster), and the k representative vectors travel
+    * by broadcast; the only wide exchange is the member-side vec_id join.
+    *
+    * Output: every non-representative member with (cluster, rep_id,
+    * cos_e6, pruned 0/1).
+    */
+  def semDedup(emb: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    val asn = Ann.kmeansSketch(emb, k, iters)
+    val reps = asn.groupBy("cluster").agg(min(col("vec_id")).as("rep_id"))
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val repVec = reps.join(
+      e.select(col("vec_id").as("rep_id"), col("v").as("rv")), "rep_id")
+    asn.join(e, "vec_id").join(broadcast(repVec), "cluster")
+      .where(col("vec_id") =!= col("rep_id"))
+      .withColumn("cos", Ann.cosine(col("v"), col("rv")))
+      .select(col("vec_id"), col("cluster"), col("rep_id"),
+        round(col("cos") * 1e6).cast("long").as("cos_e6"),
+        when(col("cos") >= minCos, 1L).otherwise(0L).as("pruned"))
+  }
 }

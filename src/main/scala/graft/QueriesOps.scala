@@ -65,6 +65,15 @@ object QueriesOps {
       .select(col("doc_id").cast("long").as("sid"),
         DedupOps.shingleTokens(col("text"), 8).as("stoks"))
 
+  /** Codegen'd (sid, tok) shingle rows — same values as [[shingled]] with
+    * no interpreted HOF in the plan (see DedupOps.shingleRows); the
+    * repartition fans the often-single-file doc read out to all cores
+    * before the explode.
+    */
+  private def shingleRows(s: SparkSession, dir: String, dedup: Boolean = true): DataFrame =
+    DedupOps.shingleRows(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism), "doc_id", "text", 8, dedup)
+
   val queries: Seq[(String, QFn)] = Seq(
     "d01_exact_dup" -> ((s, dir) =>
       DedupOps.exactDuplicates(docsWithDups(s, dir))),
@@ -83,14 +92,14 @@ object QueriesOps {
     }),
 
     "d03_lsh_pairs" -> ((s, dir) =>
-      DedupOps.lshCandidates(shingled(s, dir), "sid", col("stoks"), k = 16, r = 4)),
+      DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4)),
 
     "d04_lsh_jaccard" -> ((s, dir) => {
-      // the shingle hash is an interpreted HOF and this query consumes the
-      // shingled table TWICE (banding + verification) — materialize once
-      val sh = shingled(s, dir).localCheckpoint(true)
-      val pairs = DedupOps.lshCandidates(sh, "sid", col("stoks"), k = 16, r = 4)
-      DedupOps.jaccard(sh, "sid", col("stoks"), pairs)
+      // the shingle rows feed TWO consumers (banding + verification) —
+      // materialize once
+      val sh = shingleRows(s, dir).localCheckpoint(true)
+      val pairs = DedupOps.lshCandidatesRows(sh, k = 16, r = 4)
+      DedupOps.jaccardRows(sh, pairs)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"),
           round(col("jaccard") * 1e6).cast("long").as("jac_e6"))
     }),
@@ -113,7 +122,7 @@ object QueriesOps {
     // turns pairwise candidates into keep-one-per-component dedup decisions
     "d09_dup_clusters" -> ((s, dir) =>
       DedupOps.duplicateClusters(
-        DedupOps.lshCandidates(shingled(s, dir), "sid", col("stoks"), k = 16, r = 4))),
+        DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4))),
 
     "a01_ann_brute" -> ((s, dir) =>
       Ann.bruteForceTopK(emb(s, dir), col("vec_id") < 10, k = 5)
@@ -276,8 +285,10 @@ object QueriesOps {
     // 8-char shingles with any eval doc (eval set = did % 89 == 7,
     // broadcast — benchmark suites are tiny next to the corpus)
     "d10_decontaminate" -> ((s, dir) =>
+      // the shingle rows feed BOTH branches (train filter + eval filter)
+      // — materialize once or the scan+hash runs per branch
       graft.ops.CurationOps.decontaminate(
-        shingled(s, dir), col("sid") % 89 === 7, minShared = 60)),
+        shingleRows(s, dir).localCheckpoint(true), col("sid") % 89 === 7, minShared = 60)),
 
     // deterministic domain-mix resampling by per-source target rates
     "k06_domain_mix" -> ((s, dir) =>

@@ -65,21 +65,20 @@ object CurationOps {
     * suite): a training document is contaminated when it shares at least
     * `minShared` distinct shingles with a single eval document.
     *
-    * `sh` is the (sid, stoks) shingle table ([[DedupOps.shingleTokens]] —
-    * stoks are distinct within a doc, so count(*) counts distinct shared
-    * shingles); `evalPred` over sid marks the held-out set. The eval side
-    * is BROADCAST — benchmark suites are fixed and tiny next to a 100 TB
-    * corpus, so the big side never shuffles on the shingle key; the only
-    * wide exchange is the (sid, esid) overlap count, whose cardinality is
-    * bounded by true near-collisions.
+    * `rows` is the distinct (sid, tok) shingle-row table
+    * ([[DedupOps.shingleRows]] — distinct within a doc, so count(*) counts
+    * distinct shared shingles); `evalPred` over sid marks the held-out set.
+    * The eval side is BROADCAST — benchmark suites are fixed and tiny next
+    * to a 100 TB corpus, so the big side never shuffles on the shingle key;
+    * the only wide exchange is the (sid, esid) overlap count, whose
+    * cardinality is bounded by true near-collisions.
     *
     * Output: (did, eval_partners) for contaminated training docs only.
     */
-  def decontaminate(sh: DataFrame, evalPred: Column, minShared: Int): DataFrame = {
-    val ex = sh.select(col("sid"), explode(col("stoks")).as("g"))
-    val tr = ex.where(!evalPred)
-    val ev = ex.where(evalPred).select(col("sid").as("esid"), col("g"))
-    tr.join(broadcast(ev), "g")
+  def decontaminate(rows: DataFrame, evalPred: Column, minShared: Int): DataFrame = {
+    val tr = rows.where(!evalPred)
+    val ev = rows.where(evalPred).select(col("sid").as("esid"), col("tok"))
+    tr.join(broadcast(ev), "tok")
       .groupBy("sid", "esid").agg(count(lit(1)).as("sh"))
       .where(col("sh") >= minShared)
       .groupBy("sid").agg(count(lit(1)).as("eval_partners"))

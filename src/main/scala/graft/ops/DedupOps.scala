@@ -168,6 +168,78 @@ object DedupOps {
       .otherwise(array().cast("array<int>"))
   }
 
+  /** Distinct (sid, tok) shingle ROWS — the whole-stage-codegen form of
+    * [[shingleTokens]]: positions come from an exploded `sequence` (a
+    * codegen'd generator), the n-char base-31 ascii fold is a flat codegen'd
+    * expression per row, and distinctness is a map-side-combined aggregate.
+    * Same values as shingleTokens (same fold, same modulus), but no
+    * interpreted higher-order function anywhere — HOFs are CodegenFallback
+    * in Spark 4 and dominated the d-series cost (the fold alone measured
+    * ~2-3 s per pass at sf0.1 interpreted).
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                  dedup: Boolean = true): DataFrame = {
+    val base = docs.select(col(idCol).as("sid"), col(textCol).as("__txt"))
+      .where(length(col("__txt")) >= n)
+      .select(col("sid"), col("__txt"),
+        explode(sequence(lit(1), length(col("__txt")) - lit(n - 1))).as("__i"))
+    val hash = (0 until n).foldLeft(lit(0L)) { (acc, j) =>
+      acc * lit(31L) + ascii(col("__txt").substr(col("__i") + lit(j), lit(1)))
+    }
+    val rows = base.select(col("sid"), (hash % lit(P)).cast("int").as("tok"))
+    // the distinct is a real shuffle: skip it for duplicate-insensitive
+    // consumers (MinHash min); Jaccard/overlap counts REQUIRE dedup=true
+    if (dedup) rows.distinct() else rows
+  }
+
+  /** k-wide MinHash signature from (sid, tok) rows — the aggregate form of
+    * [[minhashSigAgg]] without the array detour. Only docs with rows appear
+    * (shingle-less docs cannot band-match anyway).
+    */
+  def minhashSigRows(rows: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map { j =>
+      val a = (2654435761L * (j + 1)) % P
+      val b = (1013904223L * (j + 1)) % P
+      min((lit(a) * col("tok").cast("long") + lit(b)) % lit(P)).as(s"m$j")
+    }
+    rows.groupBy("sid").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs from (sid, tok) rows (doc_a < doc_b). */
+  def lshCandidatesRows(rows: DataFrame, k: Int, r: Int): DataFrame = {
+    require(k % r == 0, "k must be divisible by r")
+    val sig = minhashSigRows(rows, k)
+    val bands = (0 until k / r).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        concat_ws("_", (0 until r).map(o => col(s"m${bi * r + o}").cast("string")): _*).as("band_key"))
+    }
+    val b = sig.select(col("sid"), explode(array(bands: _*)).as("__band"))
+      .select(col("sid"), col("__band.band_idx").as("band_idx"), col("__band.band_key").as("band_key"))
+    b.select(col("sid").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(b.select(col("sid").as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard over (sid, tok) rows for given candidate pairs — same
+    * explicit two-key join as [[jaccard]], minus the array explode.
+    */
+  def jaccardRows(rows: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = rows.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val toksB = rows.select(col("sid").as("__doc_b"), col("tok").as("tok_b"))
+    val inter = pairs
+      .join(rows.select(col("sid").as("doc_a"), col("tok").as("tok_a")), "doc_a")
+      .join(toksB, col("doc_b") === col("__doc_b") && col("tok_a") === col("tok_b"))
+      .drop("__doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("sid").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("sid").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+  }
+
   /** Connected components over candidate pairs — the clustering step a real
     * dedup pipeline runs after LSH (keep one representative per component,
     * not per pair). Distributed min-label propagation: every node starts as

@@ -34,8 +34,7 @@ class CurationSpec extends SparkSpec {
       (100L, "the quick brown fox jumps over the lazy dog again and again"),
       (101L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm lll")
     ).toDF("doc_id", "text")
-    val sh = docs.select(col("doc_id").as("sid"),
-      DedupOps.shingleTokens(col("text"), 8).as("stoks"))
+    val sh = DedupOps.shingleRows(docs, "doc_id", "text", 8)
     val out = CurationOps.decontaminate(sh, col("sid") % 89 === 7, minShared = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(100L -> 1L))

@@ -86,6 +86,24 @@ object StreamPipeline {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Gap-based session aggregate in native Structured Streaming form:
+    * `session_window` merges events separated by less than `gap`, the
+    * watermark bounds session state (a session older than the horizon can
+    * never reopen → its state is evicted and the row emitted). This is the
+    * streaming analog of [[graft.ops.CurationOps.sessionize]]'s batch
+    * lag+cumsum form; the same call also runs in batch mode, where the two
+    * forms must agree (asserted in StreamingSpec).
+    *
+    * `ev` needs (user_id, event_ts timestamp, cents long).
+    */
+  def sessionAgg(ev: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    ev.withWatermark("event_ts", watermark)
+      .groupBy(session_window(col("event_ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"),
+        col("n_events"), col("sum_cents"))
+
   /** Event-time windowed per-kind aggregate with a watermark — the streaming
     * analog of the per-run report (SURVEY.md §2.5) with late-data bounds the
     * reference never had.

@@ -91,6 +91,36 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(exp.get(k).contains(v), s"window $k mismatch") }
   }
 
+  test("streaming session_window agrees with batch session_window and the lag+cumsum form") {
+    val evDir = tmp("graft-stream-ev")
+    val src = Tables.events(spark, Sf)
+    src.write.mode("overwrite").parquet(evDir)
+    def prep(df: org.apache.spark.sql.DataFrame) = df.select(col("user_id"),
+      col("ts").cast("timestamp").as("event_ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val q = StreamPipeline.sessionAgg(prep(spark.readStream.schema(src.schema).parquet(evDir)))
+      .writeStream.format("memory").queryName("sessagg").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val got = keyed(spark.table("sessagg"))
+    val exp = keyed(StreamPipeline.sessionAgg(prep(src))) // same op, batch mode
+    // append mode emits only watermark-closed sessions on a drained run
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) => assert(exp.get(k).contains(v), s"session $k mismatch") }
+    // the lag+cumsum batch form must carve identical sessions: same count,
+    // same (user, n_events, sum_cents) multiset
+    val lagForm = graft.ops.CurationOps.sessionize(src, gapSec = 1800)
+      .select(col("user_id"), col("n_events"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val swForm = StreamPipeline.sessionAgg(prep(src))
+      .select(col("user_id"), col("n_events"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(lagForm.toSeq === swForm.toSeq)
+  }
+
   test("streaming dedup within watermark drops duplicate keys, bounded state") {
     val in = tmp("graft-stream-in5")
     // stage the same rows TWICE — every key arrives duplicated

@@ -262,21 +262,24 @@ object DedupOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // edge relaxation: min label among self + neighbors
+      // edge relaxation: min label among self + neighbors. The self branch
+      // carries the OLD label through the aggregate (max over one non-null)
+      // so the convergence check below needs no extra join against the
+      // previous round — one checkpointed frame serves both.
       val viaEdges = edges.join(labels, edges("src") === labels("sid"))
-        .select(col("dst").as("sid"), col("lbl"))
-      val relaxed = labels.select("sid", "lbl").union(viaEdges)
-        .groupBy("sid").agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("sid"), col("lbl"), lit(null).cast("long").as("old"))
+      val relaxed = labels.select(col("sid"), col("lbl"), col("lbl").as("old"))
+        .union(viaEdges)
+        .groupBy("sid").agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
       // pointer jumping: follow lbl → lbl(lbl), compressing label chains so
       // convergence scales with log(diameter) rather than diameter
       val parents = relaxed.select(col("sid").as("p_sid"), col("lbl").as("p_lbl"))
       val next = relaxed.join(parents, relaxed("lbl") === parents("p_sid"), "left")
         .select(col("sid"),
-          least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"), col("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "sid")
-        .where(col("lbl") =!= col("old")).count()
-      labels = next
+      val changed = next.where(col("lbl") =!= col("old")).count()
+      labels = next.select("sid", "lbl")
       converged = changed == 0
       i += 1
     }

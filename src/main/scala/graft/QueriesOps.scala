@@ -305,6 +305,22 @@ object QueriesOps {
     "d11_semdedup" -> ((s, dir) =>
       DedupOps.semDedup(emb(s, dir), k = 16, iters = 2, minCos = 0.25)),
 
+    // substring-level dedup signal: 24-char windows repeated across >= 3 docs
+    "d12_repeat_substr" -> ((s, dir) =>
+      graft.ops.CurationOps.repeatedSubstrings(docs(s, dir), n = 24, minDocs = 3)),
+
+    // BPE vocabulary induction, step 1: top-50 adjacent char pairs
+    "k07_bpe_pairs" -> ((s, dir) =>
+      graft.ops.CurationOps.bpePairs(docs(s, dir), topN = 50)),
+
+    // dataset statistics: exact per-source length quantiles
+    "k08_len_quantiles" -> ((s, dir) =>
+      graft.ops.CurationOps.lengthQuantiles(docs(s, dir))),
+
+    // deterministic training-order shuffle (sorted-bucket-writer layout)
+    "k09_train_order" -> ((s, dir) =>
+      graft.ops.CurationOps.trainOrder(docs(s, dir), nBuckets = 256)),
+
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
     // engines' differing round-half modes). The quantized vector is emitted
@@ -607,6 +623,50 @@ object QueriesOps {
       """SELECT doc_id AS did, source FROM documents
         |WHERE (doc_id * 2654435761) % 1000003 % 1000
         |      < ((cast(substr(source, 4) AS int) % 4) + 1) * 250""".stripMargin,
+
+    "d12_repeat_substr" -> {
+      val fold = (0 until 24).foldLeft("cast(0 AS bigint)") { (acc, j) =>
+        s"(($acc*31 + ascii(substr(text, cast(i+$j AS int), 1))) % 1000000007)"
+      }
+      s"""WITH ss AS (
+         |  SELECT DISTINCT doc_id AS sid,
+         |    unnest(list_transform(range(1, greatest(length(text)-23, 0)+1),
+         |      i -> $fold)) AS sub
+         |  FROM documents)
+         |SELECT sub, count(*) AS n_docs, min(sid) AS first_sid
+         |FROM ss GROUP BY sub HAVING count(*) >= 3""".stripMargin
+    },
+
+    "k07_bpe_pairs" ->
+      """WITH wd AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS w
+        |  FROM documents),
+        |pr AS (
+        |  SELECT unnest(list_transform(range(1, greatest(length(w)-1, 0)+1),
+        |    i -> substr(w, cast(i AS int), 2))) AS pair
+        |  FROM wd WHERE length(w) >= 2),
+        |fr AS (SELECT pair, count(*) AS freq FROM pr GROUP BY 1)
+        |SELECT pair, freq, cast(row_number() OVER (ORDER BY freq DESC, pair) AS int) AS rank
+        |FROM fr ORDER BY freq DESC, pair LIMIT 50""".stripMargin,
+
+    "k08_len_quantiles" ->
+      """SELECT source,
+        |  cast(round(quantile_cont(n_chars, 0.25)*1000000) AS bigint) AS p25_e6,
+        |  cast(round(quantile_cont(n_chars, 0.5)*1000000) AS bigint) AS p50_e6,
+        |  cast(round(quantile_cont(n_chars, 0.9)*1000000) AS bigint) AS p90_e6,
+        |  cast(round(quantile_cont(n_chars, 0.99)*1000000) AS bigint) AS p99_e6,
+        |  count(*) AS docs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "k09_train_order" ->
+      """WITH kd AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS key,
+        |         (doc_id * 2654435761) % 1000003 % 256 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  cast(row_number() OVER (PARTITION BY bucket ORDER BY key, doc_id) AS int) AS ord,
+        |  key
+        |FROM kd""".stripMargin,
 
     // twin of the sketch-space k-means: iterations unrolled, centroids as
     // exact int64 sums, scores as the identical left-assoc double chains

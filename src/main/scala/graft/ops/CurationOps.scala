@@ -121,6 +121,75 @@ object CurationOps {
       .select(col("did"), expr("(s * 1000000) div n").as("fam_e6"))
   }
 
+  /** Cross-document repeated-substring detection (the signal behind
+    * substring-level dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better", here over hashed fixed-width windows
+    * instead of a suffix array): every n-char window is hashed (base-31
+    * fold, mod 1e9+7 at each step so any n stays in int64), counted once
+    * per document, and hashes appearing in ≥ minDocs documents surface
+    * with their document count. One codegen'd pass + two map-side-combined
+    * aggregates — no cross-document joins at any scale.
+    */
+  def repeatedSubstrings(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    val base = docs.select(col("doc_id").as("sid"), col("text").as("__txt"))
+      .where(length(col("__txt")) >= n)
+      .select(col("sid"), col("__txt"),
+        explode(sequence(lit(1), length(col("__txt")) - lit(n - 1))).as("__i"))
+    val hash = (0 until n).foldLeft(lit(0L)) { (acc, j) =>
+      (acc * lit(31L) + ascii(col("__txt").substr(col("__i") + lit(j), lit(1)))) % lit(1000000007L)
+    }
+    base.select(col("sid"), hash.as("sub")).distinct()
+      .groupBy("sub").agg(count(lit(1)).as("n_docs"), min(col("sid")).as("first_sid"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Adjacent character-pair frequencies within words — the counting step
+    * of BPE vocabulary induction (Sennrich et al. 2016): top `topN` pairs
+    * by global frequency. Partial top-k via orderBy+limit
+    * (TakeOrderedAndProject — every task merges its local top, no global
+    * sort); the rank window then runs over only the topN survivors.
+    */
+  def bpePairs(docs: DataFrame, topN: Int): DataFrame = {
+    val pairs = docs
+      .select(explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"))
+    val freq = pairs.groupBy("pair").agg(count(lit(1)).as("freq"))
+    freq.orderBy(col("freq").desc, col("pair")).limit(topN)
+      .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("pair"))))
+  }
+
+  /** Exact per-source length quantiles (the dataset-statistics report of a
+    * curation run). Spark's `percentile` buffers a value→count map per
+    * group: safe at any corpus size HERE because n_chars has a small,
+    * bounded value domain (the map is value-bounded, not row-bounded) —
+    * for unbounded domains switch to a fixed-width histogram first.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(
+      round(expr("percentile(n_chars, 0.25)") * 1e6).cast("long").as("p25_e6"),
+      round(expr("percentile(n_chars, 0.5)") * 1e6).cast("long").as("p50_e6"),
+      round(expr("percentile(n_chars, 0.9)") * 1e6).cast("long").as("p90_e6"),
+      round(expr("percentile(n_chars, 0.99)") * 1e6).cast("long").as("p99_e6"),
+      count(lit(1)).as("docs"))
+
+  /** Deterministic training-order shuffle: a multiplicative-hash key
+    * permutes the corpus, `nBuckets` range-buckets the permuted order
+    * (bucket count scales with the corpus — each rank window holds
+    * corpus/nBuckets rows, the standard sorted-bucket-writer layout), and
+    * the within-bucket rank is the file-local write order. Reading buckets
+    * in (bucket, ord) order replays one fixed global shuffle — stable
+    * across runs, engines, and cluster sizes, unlike RNG-based shuffles.
+    */
+  def trainOrder(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val key = col("doc_id") * lit(2654435761L) % lit(1000003L)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("key"), (key % nBuckets).as("bucket"))
+      .withColumn("ord", row_number().over(w))
+      .select("doc_id", "bucket", "ord", "key")
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when a user's inter-event gap exceeds `gapSec`.
     * Per-user lag + running sum — window state bounded by one user's

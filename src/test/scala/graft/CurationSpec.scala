@@ -64,6 +64,21 @@ class CurationSpec extends SparkSpec {
     assert(k > 1 && k <= 16)
   }
 
+  test("train-order shuffle is a permutation with contiguous per-bucket ranks") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val ord = CurationOps.trainOrder(docs, nBuckets = 16)
+    assert(ord.count() === docs.count())
+    assert(ord.select("doc_id").distinct().count() === docs.count())
+    // per bucket: ranks are exactly 1..size(bucket)
+    val bad = ord.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max(col("ord")).as("mx"), min(col("ord")).as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(bad === 0L)
+    // and the order is not the identity (it actually shuffles)
+    val moved = ord.where(col("ord") =!= col("doc_id") + 1).count()
+    assert(moved > 0L)
+  }
+
   test("sessionize splits exactly at the gap and conserves events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val sess = CurationOps.sessionize(ev, gapSec = 1800)

@@ -279,7 +279,10 @@ object QueriesOps {
     // corpus-frequency trigram LM familiarity (CCNet-style quality bucket;
     // the LM table is charset-bounded → broadcast at any corpus size)
     "t08_lm_familiarity" -> ((s, dir) =>
-      graft.ops.CurationOps.lmFamiliarity(docs(s, dir))),
+      // fan the single-file doc read out before the trigram explode (the
+      // op makes two passes over it — count then score)
+      graft.ops.CurationOps.lmFamiliarity(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism))),
 
     // train/eval decontamination: training docs sharing >= 60 distinct
     // 8-char shingles with any eval doc (eval set = did % 89 == 7,
@@ -307,7 +310,9 @@ object QueriesOps {
 
     // substring-level dedup signal: 24-char windows repeated across >= 3 docs
     "d12_repeat_substr" -> ((s, dir) =>
-      graft.ops.CurationOps.repeatedSubstrings(docs(s, dir), n = 24, minDocs = 3)),
+      // 24 substr reads per position: must not run in one input split
+      graft.ops.CurationOps.repeatedSubstrings(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism), n = 24, minDocs = 3)),
 
     // BPE vocabulary induction, step 1: top-50 adjacent char pairs
     "k07_bpe_pairs" -> ((s, dir) =>

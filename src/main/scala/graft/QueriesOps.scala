@@ -45,6 +45,37 @@ object QueriesOps {
       asn("cent2", "asn3"))
   }
 
+  /** SQL twin of TextOps.langIdHeuristic (shared by t01 and the t09
+    * curation-gate composition).
+    */
+  private lazy val LangPredSql: String = {
+    val noVowel = "replace(replace(replace(replace(replace(text,'a',''),'e',''),'i',''),'o',''),'u','')"
+    s"""CASE WHEN ((length(text) - length(replace(text, 'the ', ''))) / 4 * 3
+       |           + (length(text) - length(replace(text, ' and ', ''))) / 5 * 3)
+       |          / greatest(length(text)*1.0, 1.0) > 0.01 THEN 'en'
+       |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.32 THEN 'es'
+       |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.28 THEN 'fr'
+       |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.24 THEN 'de'
+       |       ELSE 'zh' END""".stripMargin
+  }
+
+  /** SQL twin of TextOps.qualityScore (shared by t02 and t09). */
+  private lazy val QualitySql: String = {
+    val words = "greatest(len(list_filter(string_split(text, ' '), w -> length(w) > 0)), 1)"
+    val noPunct = "replace(replace(replace(replace(replace(replace(text,'.',''),',',''),'!',''),'?',''),';',''),':','')"
+    s"""cast(floor(
+       |    (CASE WHEN length(text) >= 200 AND length(text) <= 5000 THEN 40.0
+       |          WHEN length(text) >= 50 THEN 25.0 ELSE 5.0 END)
+       |  + (CASE WHEN (length(text)*1.0 - ($words - 1)) / $words >= 3.0
+       |           AND (length(text)*1.0 - ($words - 1)) / $words <= 9.0 THEN 30.0 ELSE 10.0 END)
+       |  + (CASE WHEN ((length(text) - length(replace(text,'the','')))/3
+       |             + (length(text) - length(replace(text,'a ','')))/2) * 1.0 / $words >= 0.05
+       |           AND ((length(text) - length(replace(text,'the','')))/3
+       |             + (length(text) - length(replace(text,'a ','')))/2) * 1.0 / $words <= 0.6 THEN 30.0 ELSE 10.0 END)
+       |  - (length(text) - length($noPunct)) * 1.0 / greatest(length(text)*1.0, 1.0) * 100.0
+       |  ) AS bigint)""".stripMargin
+  }
+
   /** documents ∪ re-id'd copies of every 10th doc — gives exact-dup groups
     * to detect (the raw table has no exact duplicates).
     */
@@ -293,6 +324,43 @@ object QueriesOps {
       graft.ops.CurationOps.decontaminate(
         shingleRows(s, dir).localCheckpoint(true), col("sid") % 89 === 7, minShared = 60)),
 
+    // MinHash Jaccard ESTIMATION from the 16-wide signatures (matching
+    // components / 16) — the cheap filter a pipeline applies between LSH
+    // banding and the exact d04 verify; joins only signature rows (one per
+    // doc), never token rows
+    "d13_minhash_est" -> ((s, dir) => {
+      val sh = shingleRows(s, dir, dedup = false).localCheckpoint(true)
+      val sig = DedupOps.minhashSigRows(sh, 16)
+      val pairs = DedupOps.lshCandidatesRows(sh, k = 16, r = 4)
+      val a = sig.select(col("sid").as("doc_a") +: (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+      val b = sig.select(col("sid").as("doc_b") +: (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+      val matches = (0 until 16).map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("matches", matches)
+        .select(col("doc_a"), col("doc_b"), col("matches"),
+          expr("(matches * 1000000) div 16").as("est_e6"))
+    }),
+
+    // composed curation gate — the end-to-end KEEP decision in ONE plan:
+    // language ∧ quality ∧ repetition ∧ not-contaminated ∧ not-eval. Each
+    // signal is the same operator the standalone queries check; the oracle
+    // recomposes all four twins, so a drift in any stage diverges here too
+    "t09_curation_gate" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").as("did"),
+        TextOps.langIdHeuristic(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val rep = graft.ops.CurationOps.repetitionSignals(docs(s, dir))
+        .select("did", "top_bi_e6")
+      val cont = graft.ops.CurationOps.decontaminate(
+        shingleRows(s, dir).localCheckpoint(true), col("sid") % 89 === 7, minShared = 60)
+        .select("did")
+      base.join(rep, "did")
+        .where(col("did") % 89 =!= 7 && col("lang_pred") === "en" &&
+          col("quality") >= 80 && col("top_bi_e6") <= 200000)
+        .join(cont, Seq("did"), "left_anti")
+        .select("did", "quality", "top_bi_e6")
+    }),
+
     // deterministic domain-mix resampling by per-source target rates
     "k06_domain_mix" -> ((s, dir) =>
       graft.ops.CurationOps.domainMixSample(docs(s, dir))),
@@ -480,36 +548,11 @@ object QueriesOps {
         |  SELECT sc.q_id, sc.c_id FROM sc JOIN thr USING (q_id)
         |  WHERE sc.ski >= thr.thr)""".stripMargin)(RerankSql),
 
-    "t01_langid" -> {
-      val noVowel = "replace(replace(replace(replace(replace(text,'a',''),'e',''),'i',''),'o',''),'u','')"
-      s"""SELECT doc_id AS did,
-         |  CASE WHEN ((length(text) - length(replace(text, 'the ', ''))) / 4 * 3
-         |           + (length(text) - length(replace(text, ' and ', ''))) / 5 * 3)
-         |          / greatest(length(text)*1.0, 1.0) > 0.01 THEN 'en'
-         |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.32 THEN 'es'
-         |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.28 THEN 'fr'
-         |       WHEN (length(text) - length($noVowel)) / greatest(length(text)*1.0, 1.0) > 0.24 THEN 'de'
-         |       ELSE 'zh' END AS lang_pred,
-         |  lang
-         |FROM documents""".stripMargin
-    },
+    "t01_langid" ->
+      s"SELECT doc_id AS did, $LangPredSql AS lang_pred, lang FROM documents",
 
-    "t02_quality" -> {
-      val words = "greatest(len(list_filter(string_split(text, ' '), w -> length(w) > 0)), 1)"
-      val noPunct = "replace(replace(replace(replace(replace(replace(text,'.',''),',',''),'!',''),'?',''),';',''),':','')"
-      s"""SELECT doc_id AS did, cast(floor(
-         |    (CASE WHEN length(text) >= 200 AND length(text) <= 5000 THEN 40.0
-         |          WHEN length(text) >= 50 THEN 25.0 ELSE 5.0 END)
-         |  + (CASE WHEN (length(text)*1.0 - ($words - 1)) / $words >= 3.0
-         |           AND (length(text)*1.0 - ($words - 1)) / $words <= 9.0 THEN 30.0 ELSE 10.0 END)
-         |  + (CASE WHEN ((length(text) - length(replace(text,'the','')))/3
-         |             + (length(text) - length(replace(text,'a ','')))/2) * 1.0 / $words >= 0.05
-         |           AND ((length(text) - length(replace(text,'the','')))/3
-         |             + (length(text) - length(replace(text,'a ','')))/2) * 1.0 / $words <= 0.6 THEN 30.0 ELSE 10.0 END)
-         |  - (length(text) - length($noPunct)) * 1.0 / greatest(length(text)*1.0, 1.0) * 100.0
-         |  ) AS bigint) AS quality
-         |FROM documents""".stripMargin
-    },
+    "t02_quality" ->
+      s"SELECT doc_id AS did, $QualitySql AS quality FROM documents",
 
     "t05_normalize" -> withCtes(V2Cte)(
       "SELECT doc_id, 'the quick brownfox run#' || cast(did AS varchar) || ' end' AS norm FROM v2"),
@@ -623,6 +666,32 @@ object QueriesOps {
       "ev AS (SELECT sid AS esid, unnest(stoks) AS g FROM shingd WHERE sid % 89 = 7)",
       "ov AS (SELECT sid, esid, count(*) AS sh FROM tr JOIN ev USING (g) GROUP BY 1, 2)")(
       "SELECT sid AS did, count(*) AS eval_partners FROM ov WHERE sh >= 60 GROUP BY sid"),
+
+    "d13_minhash_est" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
+      s"""SELECT doc_a, doc_b, matches, (matches * 1000000) // 16 AS est_e6 FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    ${(0 until 16).map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")} AS matches
+         |  FROM spairs p
+         |  JOIN ssig a ON a.sid = p.doc_a
+         |  JOIN ssig b ON b.sid = p.doc_b)""".stripMargin),
+
+    "t09_curation_gate" -> withCtes(ShingCte,
+      "tr AS (SELECT sid, unnest(stoks) AS g FROM shingd WHERE sid % 89 <> 7)",
+      "ev AS (SELECT sid AS esid, unnest(stoks) AS g FROM shingd WHERE sid % 89 = 7)",
+      "cont AS (SELECT sid AS did FROM (SELECT sid, esid, count(*) AS sh FROM tr JOIN ev USING (g) GROUP BY 1, 2) WHERE sh >= 60 GROUP BY sid)",
+      """tk AS (SELECT doc_id AS did, list_filter(string_split(text, ' '), w -> length(w) > 0) AS l
+        |  FROM documents)""".stripMargin,
+      """bg AS (SELECT did, unnest(list_transform(range(1, greatest(len(l)-1, 0)+1),
+        |    i -> l[i] || ' ' || l[i+1])) AS g FROM tk)""".stripMargin,
+      """rep AS (SELECT did, (cast(max(n) AS bigint) * 1000000) // cast(sum(n) AS bigint) AS top_bi_e6
+        |  FROM (SELECT did, g, count(*) AS n FROM bg GROUP BY 1, 2) GROUP BY 1)""".stripMargin,
+      s"""base AS (SELECT doc_id AS did, $LangPredSql AS lang_pred, $QualitySql AS quality
+         |  FROM documents)""".stripMargin)(
+      """SELECT b.did, b.quality, r.top_bi_e6
+        |FROM base b JOIN rep r USING (did)
+        |WHERE b.did % 89 <> 7 AND b.lang_pred = 'en' AND b.quality >= 80
+        |  AND r.top_bi_e6 <= 200000
+        |  AND b.did NOT IN (SELECT did FROM cont)""".stripMargin),
 
     "k06_domain_mix" ->
       """SELECT doc_id AS did, source FROM documents

@@ -394,6 +394,23 @@ object QueriesOps {
     "k09_train_order" -> ((s, dir) =>
       graft.ops.CurationOps.trainOrder(docs(s, dir), nBuckets = 256)),
 
+    // contrastive-pair mining for embedding training: anchor + top-1
+    // cosine positive + 4 deterministic hash-drawn negatives (j indexes the
+    // draw; collisions with anchor/positive are dropped identically in both
+    // engines). The corpus-size scalar joins by broadcast — no collect
+    "i04_contrastive" -> ((s, dir) => {
+      val pos = Ann.bruteForceTopK(emb(s, dir), col("vec_id") < 10, k = 1)
+        .select(col("q_id").as("anchor"), col("c_id").as("pos_id"))
+      val mx = emb(s, dir).agg((max(col("vec_id")) + 1).as("n"))
+      pos.crossJoin(broadcast(mx))
+        .select(col("anchor"), col("pos_id"), col("n"),
+          explode(array((1 to 4).map(lit(_)): _*)).as("j"))
+        .withColumn("neg_id",
+          (col("anchor") * 31 + col("j") * lit(2654435761L)) % lit(1000003L) % col("n"))
+        .where(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("pos_id"))
+        .select("anchor", "pos_id", "j", "neg_id")
+    }),
+
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
     // engines' differing round-half modes). The quantized vector is emitted
@@ -758,6 +775,20 @@ object QueriesOps {
          |JOIN edd m ON m.vec_id = a.vec_id
          |JOIN edd rv ON rv.vec_id = r.rep_id
          |WHERE a.vec_id <> r.rep_id""".stripMargin),
+
+    "i04_contrastive" -> withCtes(EmbCte,
+      s"""pos AS (
+         |  SELECT q_id AS anchor, c_id AS pos_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM (SELECT * FROM edd WHERE vec_id < 10) q
+         |    JOIN edd c ON c.vec_id <> q.vec_id) WHERE rank = 1)""".stripMargin,
+      "mx AS (SELECT max(vec_id) + 1 AS n FROM embeddings)")(
+      """SELECT anchor, pos_id, j, (anchor*31 + j*2654435761) % 1000003 % n AS neg_id
+        |FROM pos CROSS JOIN mx CROSS JOIN (VALUES (1), (2), (3), (4)) t(j)
+        |WHERE (anchor*31 + j*2654435761) % 1000003 % n <> anchor
+        |  AND (anchor*31 + j*2654435761) % 1000003 % n <> pos_id""".stripMargin),
 
     "i01_embed_quantize" -> withCtes(EmbCte)(
       """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,

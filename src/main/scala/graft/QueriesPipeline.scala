@@ -206,6 +206,33 @@ object QueriesPipeline {
         .except(d.where(col("lang") === "en").select(col("doc_id").as("did")))
     }),
 
+    // as-of join (operator Spark lacks natively): each event picks up the
+    // latest config update with update.us <= event.us for its user —
+    // union + last(ignoreNulls) window, one shuffle on the key, no
+    // non-equi join; DuckDB's native ASOF LEFT JOIN is the twin
+    "q08_asof_enrich" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val upd = ev.where(col("event_id") % 37 === 0)
+        .groupBy("user_id", "us").agg(max(col("event_id")).as("cfg"))
+      graft.operators.AsOf.asOf(ev, upd, "user_id", "us", "cfg", Seq("event_id"))
+        .select("event_id", "user_id", "us", "asof_cfg")
+    }),
+
+    // range join (interval containment): probes equi-join their block id
+    // against block-exploded ranges, then filter the bound — O(1)
+    // candidates per probe for bounded-width ranges; BETWEEN twin
+    "q09_range_enrich" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val probe = d.select(col("doc_id").as("did"),
+        (col("doc_id") * 7919 % 250000).as("k"))
+      val ranges = d.where(col("doc_id") < 250)
+        .select((col("doc_id") * 997).as("rs"), (col("doc_id") * 997 + 499).as("re"),
+          concat(lit("org-"), col("doc_id")).as("org"))
+      graft.operators.AsOf.rangeJoin(probe, ranges, "k", "rs", "re", "org",
+        Seq("did"), blockSize = 512)
+    }),
+
     "p16_parse_wapples" -> ((s, dir) => {
       val r = Tables.rawEvents2(s, dir).where(col("kind") === "wapples")
         .withColumn("o", graft.operators.ParseVendors.wapples(col("raw_line")))
@@ -738,6 +765,20 @@ object QueriesPipeline {
       """SELECT doc_id AS did FROM documents WHERE source='src0'
         |EXCEPT
         |SELECT doc_id AS did FROM documents WHERE lang='en'""".stripMargin,
+
+    "q08_asof_enrich" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |upd AS (SELECT user_id, us, max(event_id) AS cfg
+        |        FROM ev WHERE event_id % 37 = 0 GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.us, b.cfg AS asof_cfg
+        |FROM ev p ASOF LEFT JOIN upd b ON p.user_id = b.user_id AND p.us >= b.us""".stripMargin,
+
+    "q09_range_enrich" ->
+      """WITH probe AS (SELECT doc_id AS did, (doc_id * 7919) % 250000 AS k FROM documents),
+        |rng AS (SELECT doc_id*997 AS rs, doc_id*997+499 AS re,
+        |               'org-' || cast(doc_id AS varchar) AS org
+        |        FROM documents WHERE doc_id < 250)
+        |SELECT p.k, p.did, r.org FROM probe p LEFT JOIN rng r ON p.k BETWEEN r.rs AND r.re""".stripMargin,
 
     // family-2 oracles: independent arithmetic re-derivation from doc_id
     // (the oracle does NOT re-parse the line — it computes what the parse

@@ -361,6 +361,22 @@ object QueriesOps {
         .select("did", "quality", "top_bi_e6")
     }),
 
+    // count-min sketch (4×1024 exact counters, fixed LCG hashes) + point
+    // estimates for the top-20 exact heavy hitters — est ≥ exact by
+    // construction, the gap IS the collision error at this (d, w)
+    "s02_countmin" -> ((s, dir) =>
+      graft.ops.Sketches.countMinTopK(
+        Tables.tokens(s, dir).select(explode(col("tokens")).as("tok")),
+        "tok", d = 4, w = 1024, topK = 20)),
+
+    // HyperLogLog-shaped per-source distinct-token estimate, oracle-exact
+    // (64 registers; dyadic register sums are float-exact and
+    // order-independent), with the exact distinct count alongside
+    "s03_hll_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.hllDistinct(
+        Tables.tokens(s, dir).select(col("source"), explode(col("tokens")).as("tok")),
+        "source", "tok", m = 64)),
+
     // deterministic domain-mix resampling by per-source target rates
     "k06_domain_mix" -> ((s, dir) =>
       graft.ops.CurationOps.domainMixSample(docs(s, dir))),
@@ -683,6 +699,51 @@ object QueriesOps {
       "ev AS (SELECT sid AS esid, unnest(stoks) AS g FROM shingd WHERE sid % 89 = 7)",
       "ov AS (SELECT sid, esid, count(*) AS sh FROM tr JOIN ev USING (g) GROUP BY 1, 2)")(
       "SELECT sid AS did, count(*) AS eval_partners FROM ov WHERE sh >= 60 GROUP BY sid"),
+
+    "s02_countmin" -> {
+      val P = 2147483647L
+      def a(j: Int) = (2654435761L * (j + 1)) % P
+      def b(j: Int) = (1013904223L * (j + 1)) % P
+      def hb(j: Int, v: String) = s"((${a(j)}*$v + ${b(j)}) % $P) % 1024"
+      val cells = (0 until 4).map(j =>
+        s"SELECT $j AS r, ${hb(j, "tok")} AS b FROM tv").mkString("\n  UNION ALL ")
+      val probes = (0 until 4).map(j =>
+        s"SELECT tok, exact_cnt, $j AS r, ${hb(j, "tok")} AS b FROM exact").mkString("\n  UNION ALL ")
+      withCtes(ToksCte,
+        "tv AS (SELECT cast(unnest(tokens) AS bigint) AS tok FROM toks)",
+        s"cells AS (\n  $cells)",
+        "cms AS (SELECT r, b, count(*) AS n FROM cells GROUP BY 1, 2)",
+        """exact AS (SELECT tok, count(*) AS exact_cnt FROM tv
+          |  GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20)""".stripMargin,
+        s"probes AS (\n  $probes)")(
+        """SELECT tok, exact_cnt, min(n) AS cms_est
+          |FROM probes JOIN cms USING (r, b) GROUP BY 1, 2""".stripMargin)
+    },
+
+    "s03_hll_distinct" -> {
+      val P = 2147483647L
+      val (a0, b0) = ((2654435761L % P), (1013904223L % P))
+      val alphaM2 = (0.7213 / (1.0 + 1.079 / 64)) * 64 * 64
+      val rank = (24 to 1 by -1).map(k =>
+        s"WHEN body % ${1L << k} = 0 THEN ${k + 1}").mkString(" ")
+      withCtes(ToksCte,
+        "tv AS (SELECT source, cast(unnest(tokens) AS bigint) AS tok FROM toks)",
+        s"hv AS (SELECT source, ($a0*tok + $b0) % $P AS hv FROM tv)",
+        s"""rg AS (SELECT source, hv % 64 AS reg,
+           |  CASE $rank ELSE 1 END AS rho
+           |  FROM (SELECT source, hv, hv // 64 AS body FROM hv))""".stripMargin,
+        "regs AS (SELECT source, reg, max(rho) AS mx FROM rg GROUP BY 1, 2)",
+        s"""est AS (SELECT source,
+           |  cast(CASE WHEN raw <= ${2.5 * 64} AND zeros > 0
+           |            THEN round(64.0 * ln(64.0 / zeros))
+           |            ELSE round(raw) END AS bigint) AS hll_est
+           |  FROM (SELECT source, zeros, $alphaM2 / (z0 + zeros) AS raw FROM (
+           |    SELECT source, sum(1.0 / (1 << cast(mx AS int))) AS z0,
+           |           64 - count(*) AS zeros
+           |    FROM regs GROUP BY source)))""".stripMargin)(
+        """SELECT e.source, e.hll_est, x.exact FROM est e
+          |JOIN (SELECT source, count(DISTINCT tok) AS exact FROM tv GROUP BY 1) x USING (source)""".stripMargin)
+    },
 
     "d13_minhash_est" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
       s"""SELECT doc_a, doc_b, matches, (matches * 1000000) // 16 AS est_e6 FROM (

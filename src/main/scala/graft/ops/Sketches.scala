@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequency and cardinality sketches, built distributively from explode +
+  * groupBy aggregates (map-side combined, codegen'd) with FIXED hash
+  * functions — every counter is deterministic, so DuckDB reproduces the
+  * sketch bit-for-bit and the oracle checks the sketch itself, not just
+  * its estimates.
+  *
+  * Spark ships approx_count_distinct/approx_percentile, but their sketch
+  * internals are engine-private (not twin-able); these are the same ideas
+  * in oracle-checkable form, and the shapes — (row, bucket) counters,
+  * per-bucket max-rank registers — are exactly what survives a 100 TB
+  * corpus: sketch size is O(d·w) / O(m) regardless of input rows.
+  */
+object Sketches {
+
+  private val P = 2147483647L
+
+  private def h(j: Int, v: Column): Column =
+    (lit((2654435761L * (j + 1)) % P) * v + lit((1013904223L * (j + 1)) % P)) % lit(P)
+
+  /** Count-min sketch over an exploded value column: d rows × w buckets of
+    * exact counts (one groupBy), plus the point-estimate join for the top-k
+    * exact heavy hitters. Output: (tok, exact_cnt, cms_est) — the CMS
+    * guarantee est ≥ exact holds by construction; the gap measures
+    * collision error at this (d, w).
+    */
+  def countMinTopK(values: DataFrame, valueCol: String, d: Int, w: Int, topK: Int): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val cells = values.select(explode(array((0 until d).map(j =>
+      struct(lit(j).as("r"), (h(j, v) % w).as("b"))): _*)).as("c"))
+      .select(col("c.r").as("r"), col("c.b").as("b"))
+    val cms = cells.groupBy("r", "b").agg(count(lit(1)).as("n"))
+    val exact = values.groupBy(v.as("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(topK)
+    val probes = exact.select(col("tok"), col("exact_cnt"),
+      explode(array((0 until d).map(j =>
+        struct(lit(j).as("r"), (h(j, col("tok")) % w).as("b"))): _*)).as("c"))
+      .select(col("tok"), col("exact_cnt"), col("c.r").as("r"), col("c.b").as("b"))
+    probes.join(cms, Seq("r", "b"))
+      .groupBy("tok", "exact_cnt").agg(min(col("n")).as("cms_est"))
+  }
+
+  /** HyperLogLog-shaped distinct estimator per group, oracle-exact: m
+    * registers, register = max over values of the rank (number of leading
+    * zero bits + 1) of a fixed integer hash. The register table AND the
+    * estimate are deterministic: Σ 2^-M[j] sums dyadic rationals well
+    * inside double's 53-bit mantissa, so the float sum is exact and
+    * order-independent (safe through an unordered groupBy in both
+    * engines). Raw HLL estimate without bias correction — the comparison
+    * column `exact` is computed alongside.
+    */
+  def hllDistinct(values: DataFrame, groupCol: String, valueCol: String, m: Int): DataFrame = {
+    require((m & (m - 1)) == 0, "m must be a power of two")
+    val v = col(valueCol).cast("long")
+    val hv = h(0, v) // 31-bit hash
+    val reg = hv % m
+    // rank = position of the lowest set bit in hv div m (+1), capped: a
+    // deterministic stand-in for leading zeros that both engines compute
+    // with integer ops only
+    val body = hv.divide(lit(m)).cast("long")
+    val rank = (1 to 24).foldLeft(lit(1): Column) { (acc, k) =>
+      when(body % lit(1L << k) === 0, lit(k + 1)).otherwise(acc)
+    }
+    val regs = values
+      .select(col(groupCol), reg.as("reg"), when(body === 0, lit(25)).otherwise(rank).as("rho"))
+      .groupBy(groupCol, "reg").agg(max(col("rho")).as("mx"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // 2^-mx as 1.0/(1<<mx): integer shift + one division — exact dyadic,
+    // no libm pow involved on either engine
+    val est = regs.groupBy(groupCol).agg(
+      sum(expr("1.0 / shiftleft(cast(1 AS bigint), cast(mx AS int))")).as("z"),
+      count(lit(1)).as("nz"))
+      // unseen registers contribute 2^0 each
+      .withColumn("zeros", lit(m) - col("nz"))
+      .withColumn("z", col("z") + col("zeros"))
+      .withColumn("raw", lit(alpha * m * m) / col("z"))
+      // standard small-range correction: below 2.5m with empty registers,
+      // linear counting m·ln(m/zeros) beats the raw estimator
+      .withColumn("hll_est",
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("zeros"))))
+          .otherwise(round(col("raw"))).cast("long"))
+    val exact = values.groupBy(groupCol).agg(countDistinct(v).as("exact"))
+    est.join(exact, groupCol).select(col(groupCol), col("hll_est"), col("exact"))
+  }
+}

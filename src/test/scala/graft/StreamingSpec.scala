@@ -121,6 +121,25 @@ class StreamingSpec extends SparkSpec {
     assert(lagForm.toSeq === swForm.toSeq)
   }
 
+  test("streaming curation gate equals the batch gate (stream-static anti-join)") {
+    val docsDir = tmp("graft-stream-docs")
+    val src = Tables.documents(spark, "/root/testdata/sf0.01")
+    src.write.mode("overwrite").parquet(docsDir)
+    val cont = graft.ops.CurationOps.decontaminate(
+      graft.ops.DedupOps.shingleRows(src, "doc_id", "text", 8),
+      col("sid") % 89 === 7, minShared = 60).select("did").localCheckpoint(true)
+    val q = StreamPipeline.curationGate(
+        spark.readStream.schema(src.schema).parquet(docsDir), cont, minQuality = 80)
+      .writeStream.format("memory").queryName("curgate").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("curgate").select("did").collect().map(_.getLong(0)).toSet
+    val exp = StreamPipeline.curationGate(src, cont, minQuality = 80)
+      .select("did").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got === exp)
+  }
+
   test("streaming dedup within watermark drops duplicate keys, bounded state") {
     val in = tmp("graft-stream-in5")
     // stage the same rows TWICE — every key arrives duplicated

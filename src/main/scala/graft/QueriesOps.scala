@@ -295,7 +295,7 @@ object QueriesOps {
     // across runs and engines — no sampling RNG), the assignment step of
     // every dataset-curation pipeline
     "k05_split" -> ((s, dir) => {
-      val h = (col("line_no") * 2654435761L) % 97
+      val h = col("line_no") % 1000003L * 2654435761L % 1000003L % 97
       Tables.tokens(s, dir)
         .withColumn("split", when(h < 87, lit("train")).otherwise(lit("val")))
         .groupBy("split").agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("sum_tokens"))
@@ -772,7 +772,7 @@ object QueriesOps {
 
     "k06_domain_mix" ->
       """SELECT doc_id AS did, source FROM documents
-        |WHERE (doc_id * 2654435761) % 1000003 % 1000
+        |WHERE (doc_id % 1000003) * 2654435761 % 1000003 % 1000
         |      < ((cast(substr(source, 4) AS int) % 4) + 1) * 250""".stripMargin,
 
     "d12_repeat_substr" -> {
@@ -811,8 +811,8 @@ object QueriesOps {
 
     "k09_train_order" ->
       """WITH kd AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS key,
-        |         (doc_id * 2654435761) % 1000003 % 256 AS bucket
+        |  SELECT doc_id, (doc_id % 1000003) * 2654435761 % 1000003 AS key,
+        |         (doc_id % 1000003) * 2654435761 % 1000003 % 256 AS bucket
         |  FROM documents)
         |SELECT doc_id, bucket,
         |  cast(row_number() OVER (PARTITION BY bucket ORDER BY key, doc_id) AS int) AS ord,
@@ -908,7 +908,7 @@ object QueriesOps {
         |FROM toks GROUP BY 1""".stripMargin),
 
     "k05_split" -> withCtes(ToksCte)(
-      """SELECT CASE WHEN (line_no * 2654435761) % 97 < 87 THEN 'train' ELSE 'val' END AS split,
+      """SELECT CASE WHEN (line_no % 1000003) * 2654435761 % 1000003 % 97 < 87 THEN 'train' ELSE 'val' END AS split,
         |  count(*) AS docs, cast(sum(len(tokens)) AS bigint) AS sum_tokens
         |FROM toks GROUP BY 1""".stripMargin),
 

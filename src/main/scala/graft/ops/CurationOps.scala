@@ -108,7 +108,10 @@ object CurationOps {
     * weights of the data recipe.
     */
   def domainMixSample(docs: DataFrame): DataFrame = {
-    val draw = col("doc_id") * lit(2654435761L) % lit(1000003L) % lit(1000L)
+    // reduce the id into the modulus BEFORE multiplying: id·A overflows
+    // int64 once ids pass ~3.4e9 (silent wrap here, runtime error in the
+    // SQL twin) — (id mod M)·A stays ≤ 2.7e15 for any id
+    val draw = col("doc_id") % lit(1000003L) * lit(2654435761L) % lit(1000003L) % lit(1000L)
     val rate = (expr("cast(substr(source, 4) AS int)") % 4 + 1) * lit(250L)
     docs.where(draw < rate).select(col("doc_id").as("did"), col("source"))
   }
@@ -198,7 +201,9 @@ object CurationOps {
     * across runs, engines, and cluster sizes, unlike RNG-based shuffles.
     */
   def trainOrder(docs: DataFrame, nBuckets: Int): DataFrame = {
-    val key = col("doc_id") * lit(2654435761L) % lit(1000003L)
+    // (id mod M)·A, not id·A — overflow-safe for unbounded ids (see
+    // domainMixSample); ties across the 1e6 key space break on doc_id
+    val key = col("doc_id") % lit(1000003L) * lit(2654435761L) % lit(1000003L)
     val w = Window.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))
     docs.select(col("doc_id"), key.as("key"), (key % nBuckets).as("bucket"))
       .withColumn("ord", row_number().over(w))

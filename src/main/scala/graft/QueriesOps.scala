@@ -82,7 +82,7 @@ object QueriesOps {
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     d.unionByName(d.where(col("doc_id") % 10 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      .withColumn("doc_id", col("doc_id") + lit(1000000000000L)))
   }
 
   /** Shingling fans the (often single-file) doc read out to all cores first:
@@ -421,7 +421,7 @@ object QueriesOps {
         .select(col("anchor"), col("pos_id"), col("n"),
           explode(array((1 to 4).map(lit(_)): _*)).as("j"))
         .withColumn("neg_id",
-          (col("anchor") * 31 + col("j") * lit(2654435761L)) % lit(1000003L) % col("n"))
+          (col("anchor") * 31 + col("j") * lit(2654435761L)) % col("n"))
         .where(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("pos_id"))
         .select("anchor", "pos_id", "j", "neg_id")
     }),
@@ -467,7 +467,7 @@ object QueriesOps {
     """dd AS (
       |  SELECT * FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  SELECT doc_id + 1000000000000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -703,7 +703,7 @@ object QueriesOps {
       val P = 2147483647L
       def a(j: Int) = (2654435761L * (j + 1)) % P
       def b(j: Int) = (1013904223L * (j + 1)) % P
-      def hb(j: Int, v: String) = s"((${a(j)}*$v + ${b(j)}) % $P) % 1024"
+      def hb(j: Int, v: String) = s"((${a(j)}*($v % $P) + ${b(j)}) % $P) % 1024"
       val cells = (0 until 4).map(j =>
         s"SELECT $j AS r, ${hb(j, "tok")} AS b FROM tv").mkString("\n  UNION ALL ")
       val probes = (0 until 4).map(j =>
@@ -727,7 +727,7 @@ object QueriesOps {
         s"WHEN body % ${1L << k} = 0 THEN ${k + 1}").mkString(" ")
       withCtes(ToksCte,
         "tv AS (SELECT source, cast(unnest(tokens) AS bigint) AS tok FROM toks)",
-        s"hv AS (SELECT source, ($a0*tok + $b0) % $P AS hv FROM tv)",
+        s"hv AS (SELECT source, ($a0*(tok % $P) + $b0) % $P AS hv FROM tv)",
         s"""rg AS (SELECT source, hv % 64 AS reg,
            |  CASE $rank ELSE 1 END AS rho
            |  FROM (SELECT source, hv, hv // 64 AS body FROM hv))""".stripMargin,
@@ -845,10 +845,10 @@ object QueriesOps {
          |    FROM (SELECT * FROM edd WHERE vec_id < 10) q
          |    JOIN edd c ON c.vec_id <> q.vec_id) WHERE rank = 1)""".stripMargin,
       "mx AS (SELECT max(vec_id) + 1 AS n FROM embeddings)")(
-      """SELECT anchor, pos_id, j, (anchor*31 + j*2654435761) % 1000003 % n AS neg_id
+      """SELECT anchor, pos_id, j, (anchor*31 + j*2654435761) % n AS neg_id
         |FROM pos CROSS JOIN mx CROSS JOIN (VALUES (1), (2), (3), (4)) t(j)
-        |WHERE (anchor*31 + j*2654435761) % 1000003 % n <> anchor
-        |  AND (anchor*31 + j*2654435761) % 1000003 % n <> pos_id""".stripMargin),
+        |WHERE (anchor*31 + j*2654435761) % n <> anchor
+        |  AND (anchor*31 + j*2654435761) % n <> pos_id""".stripMargin),
 
     "i01_embed_quantize" -> withCtes(EmbCte)(
       """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,

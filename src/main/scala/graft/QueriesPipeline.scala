@@ -822,7 +822,7 @@ object QueriesPipeline {
         |    cast(sa % 256 AS varchar) AS src_ip,
         |  cast(1024 + did % 60000 AS bigint) AS src_port, cast(443 AS bigint) AS dst_port,
         |  cast(did % 4294967296 AS bigint) AS d_octets
-        |FROM (SELECT *, (did * 2654435761) % 4294967296 AS sa FROM v2)""".stripMargin),
+        |FROM (SELECT *, (did % 1000003) * 2654435761 % 4294967296 AS sa FROM v2)""".stripMargin),
 
     "p22_parse_ts_formats" -> withCtes(V2Cte)(
       """SELECT doc_id,
@@ -866,7 +866,7 @@ object QueriesPipeline {
       """SELECT doc_id, cast(1 + did % 3 AS bigint) AS flow_count,
         |  cast(1700000000 + did % 1000 AS bigint) AS unix_secs,
         |  cast(j AS bigint) AS rec_idx,
-        |  (did * 2654435761 + j * 7919) % 4294967296 AS srcaddr,
+        |  ((did % 1000003) * 2654435761 + j * 7919) % 4294967296 AS srcaddr,
         |  cast(1024 + (did + j) % 60000 AS bigint) AS src_port,
         |  cast(443 AS bigint) AS dst_port,
         |  (did + j) % 4294967296 AS d_octets
@@ -880,7 +880,7 @@ object QueriesPipeline {
         |  CASE WHEN did % 10 = 1 THEN did + 8 ELSE did + 10 END AS seq,
         |  cast(j AS int) AS rec_idx,
         |  did % 10 NOT IN (1, 5) AS decoded,
-        |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE (did * 2654435761 + j * 7919) % 4294967296 END AS srcaddr,
+        |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE ((did % 1000003) * 2654435761 + j * 7919) % 4294967296 END AS srcaddr,
         |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE 1024 + (did + j) % 60000 END AS src_port,
         |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE 443 END AS dst_port,
         |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE (did + j) % 4294967296 END AS in_bytes
@@ -906,7 +906,7 @@ object QueriesPipeline {
         |  cast(1024 + did % 60000 AS bigint) AS src_port,
         |  cast(443 AS bigint) AS dst_port,
         |  cast(did % 4294967296 AS bigint) AS d_octets
-        |FROM (SELECT *, (did * 2654435761) % 4294967296 AS sa FROM v2)
+        |FROM (SELECT *, (did % 1000003) * 2654435761 % 4294967296 AS sa FROM v2)
         |WHERE did % 13 <> 0""".stripMargin),
 
     "f04_file_sysmon" -> {
@@ -932,7 +932,7 @@ object QueriesPipeline {
         |  cast(512 + (did//2) % 50 AS int) AS template_id,
         |  did + 10 AS seq, true AS decoded,
         |  (did * 3) % 65536 AS scope_system,
-        |  (did * 2654435761) % 4294967296 AS in_bytes
+        |  (did % 1000003) * 2654435761 % 4294967296 AS in_bytes
         |FROM v2 WHERE did % 2 = 1""".stripMargin),
 
     "p30_netflow_v9_typed" -> {
@@ -952,7 +952,7 @@ object QueriesPipeline {
       withCtes(V2Cte,
         """f AS (
           |  SELECT doc_id, did,
-          |    (did * 2654435761) % 4294967296 AS a1,
+          |    (did % 1000003) * 2654435761 % 4294967296 AS a1,
           |    (did * 7919 + 5) % 4294967296 AS a2,
           |    unnest(range(11)) AS j
           |  FROM v2 WHERE did % 2 = 1)""".stripMargin)(

@@ -20,7 +20,9 @@ object Sketches {
   private val P = 2147483647L
 
   private def h(j: Int, v: Column): Column =
-    (lit((2654435761L * (j + 1)) % P) * v + lit((1013904223L * (j + 1)) % P)) % lit(P)
+    // v reduced into P first: A·v overflows int64 for raw values past
+    // ~3.4e9 (and the SQL twin would error rather than wrap)
+    (lit((2654435761L * (j + 1)) % P) * (v % lit(P)) + lit((1013904223L * (j + 1)) % P)) % lit(P)
 
   /** Count-min sketch over an exploded value column: d rows × w buckets of
     * exact counts (one groupBy), plus the point-estimate join for the top-k

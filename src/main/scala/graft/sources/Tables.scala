@@ -264,7 +264,7 @@ object Tables {
       hexN(lit(1L), 4),                                     // count
       hexN(did % 100000L, 8),                               // sys_uptime
       hexN(lit(1700000000L) + did % 1000L, 8),              // unix_secs
-      hexN((did * 2654435761L) % 4294967296L, 8),           // srcaddr
+      hexN(did % 1000003L * 2654435761L % 4294967296L, 8),           // srcaddr
       hexN(lit(1024L) + did % 60000L, 4),                   // srcport
       hexN(lit(443L), 4),                                   // dstport
       hexN(did % 4294967296L, 8))                           // d_octets
@@ -283,7 +283,7 @@ object Tables {
     def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
     val cnt = lit(1L) + did % 3L
     def rec(j: Int): Column = when(lit(j) < cnt, concat(
-      hexN((did * 2654435761L + j * 7919L) % 4294967296L, 8),
+      hexN((did % 1000003L * 2654435761L + j * 7919L) % 4294967296L, 8),
       hexN(lit(1024L) + (did + j) % 60000L, 4),
       hexN(lit(443L), 4),
       hexN((did + j) % 4294967296L, 8))).otherwise(lit(""))
@@ -346,7 +346,7 @@ object Tables {
       hexN(lit(11L), 4), hexN(lit(2L), 4),   // L4DstPort, 2
       hexN(lit(1L), 4), hexN(lit(4L), 4))    // InBytes, 4
     def rec(j: Int): Column = when(lit(j) < rc, concat(
-      hexN((did * 2654435761L + j * 7919L) % 4294967296L, 8),
+      hexN((did % 1000003L * 2654435761L + j * 7919L) % 4294967296L, 8),
       hexN(lit(1024L) + (did + j) % 60000L, 4),
       hexN(lit(443L), 4),
       hexN((did + j) % 4294967296L, 8))).otherwise(lit(""))
@@ -383,7 +383,7 @@ object Tables {
       hexN(lit(1L), 4), hexN(lit(4L), 4))    // option: InBytes, 4 bytes
     val dataFs = concat(hexN(tid, 4), hexN(lit(10L), 4),
       hexN((did * 3) % 65536L, 4),
-      hexN((did * 2654435761L) % 4294967296L, 8))
+      hexN(did % 1000003L * 2654435761L % 4294967296L, 8))
     val pkt = concat(header, when(did % 2 === 0, tplFs).otherwise(dataFs))
     documents(spark, dir).select(
       concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
@@ -418,7 +418,7 @@ object Tables {
     val fwd = when(did % 4 === 0, 0L).when(did % 4 === 1, 64L)
       .when(did % 4 === 2, 65L).otherwise(66L)
     val recBytes = concat(
-      hexN((did * 2654435761L) % 4294967296L, 8), // IPv4SrcAddr
+      hexN(did % 1000003L * 2654435761L % 4294967296L, 8), // IPv4SrcAddr
       hexN((did * 7919L + 5L) % 4294967296L, 8),  // IPv4DstAddr
       hexN(lit(1024L) + did % 60000L, 4),         // L4SrcPort
       hexN(lit(443L), 4),                         // L4DstPort

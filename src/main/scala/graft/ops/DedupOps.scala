@@ -224,6 +224,8 @@ object DedupOps {
 
   /** Exact Jaccard over (sid, tok) rows for given candidate pairs — same
     * explicit two-key join as [[jaccard]], minus the array explode.
+    * PRECONDITION: rows must be distinct per (sid, tok)
+    * ([[shingleRows]] with dedup=true) — duplicates inflate `inter`.
     */
   def jaccardRows(rows: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = rows.groupBy("sid").agg(count(lit(1)).as("sz"))

@@ -376,6 +376,16 @@ object QueriesOps {
         Tables.tokens(s, dir).select(col("source"), explode(col("tokens")).as("tok")),
         "source", "tok", m = 64)),
 
+    // data selection under a token budget (60% of corpus tokens): exact
+    // above the quality threshold band, proportional hash cut inside it —
+    // the only window runs over the <=101-row quality-band aggregate
+    "k10_token_budget" -> ((s, dir) =>
+      graft.ops.CurationOps.tokenBudgetSelect(
+        docs(s, dir).select(col("doc_id").as("did"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.wordCount(col("text")).as("n_tok")),
+        num = 6, den = 10)),
+
     // deterministic domain-mix resampling by per-source target rates
     "k06_domain_mix" -> ((s, dir) =>
       graft.ops.CurationOps.domainMixSample(docs(s, dir))),
@@ -769,6 +779,27 @@ object QueriesOps {
         |WHERE b.did % 89 <> 7 AND b.lang_pred = 'en' AND b.quality >= 80
         |  AND r.top_bi_e6 <= 200000
         |  AND b.did NOT IN (SELECT did FROM cont)""".stripMargin),
+
+    "k10_token_budget" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS did, $QualitySql AS quality,
+         |    cast(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS bigint) AS n_tok
+         |  FROM documents),
+         |bands AS (SELECT quality, cast(sum(n_tok) AS bigint) AS band_toks FROM base GROUP BY 1),
+         |tot AS (SELECT (cast(sum(n_tok) AS bigint) * 6) // 10 AS budget FROM base),
+         |cum AS (SELECT quality, band_toks, budget,
+         |    cast(sum(band_toks) OVER (ORDER BY quality DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum
+         |  FROM bands CROSS JOIN tot),
+         |fullagg AS (SELECT min(quality) AS qstar, max(cum) AS used
+         |  FROM cum WHERE cum <= budget),
+         |boundary AS (SELECT quality AS bq, band_toks AS btoks, budget
+         |  FROM cum WHERE cum > budget ORDER BY quality DESC LIMIT 1),
+         |cut AS (SELECT bq, qstar, ((budget - coalesce(used, 0)) * 1000000) // btoks AS rate_e6
+         |  FROM fullagg LEFT JOIN boundary ON true)
+         |SELECT did, quality, n_tok FROM base CROSS JOIN cut
+         |WHERE (qstar IS NOT NULL AND quality >= qstar)
+         |   OR (quality = bq AND (did % 1000003) * 2654435761 % 1000003 % 1000000 < rate_e6)""".stripMargin,
 
     "k06_domain_mix" ->
       """SELECT doc_id AS did, source FROM documents

@@ -210,6 +210,45 @@ object CurationOps {
       .select("doc_id", "bucket", "ord", "key")
   }
 
+  /** Data selection under a token budget: keep the highest-quality
+    * documents until ~`num/den` of the corpus tokens are selected. The
+    * quality score is integer-banded (0..100), so the selection threshold
+    * falls out of a cumulative sum over the ≤101-row band aggregate — a
+    * window over a VALUE-DOMAIN-bounded frame, never over the corpus.
+    * Bands above the threshold are taken whole; inside the boundary band a
+    * proportional hash cut fills the remainder (budget met to within the
+    * band's draw variance — exact per-doc prefix sums would serialize a
+    * corpus-fraction per task, and a training-mix budget is a target, not
+    * an invariant).
+    *
+    * `scored`: (did, quality, n_tok). Output: the selected rows.
+    */
+  def tokenBudgetSelect(scored: DataFrame, num: Int, den: Int): DataFrame = {
+    val bands = scored.groupBy("quality").agg(sum(col("n_tok")).as("band_toks"))
+    val tot = scored.agg(sum(col("n_tok")).as("total"))
+    val wCum = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bands.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"(total * $num) div $den"))
+      .withColumn("cum", sum(col("band_toks")).over(wCum))
+    // full bands: cumulative fits the budget; boundary: the first that spills
+    val fullAgg = cum.where(col("cum") <= col("budget"))
+      .agg(min(col("quality")).as("qstar"), max(col("cum")).as("used"))
+    val boundary = cum.where(col("cum") > col("budget"))
+      .orderBy(col("quality").desc).limit(1)
+      .select(col("quality").as("bq"), col("band_toks").as("btoks"), col("budget"))
+    // fullAgg always has exactly one row (global agg); boundary has 0 or 1 —
+    // left join so a budget that covers the whole corpus still selects all
+    val cut = fullAgg.join(boundary, lit(true), "left")
+      .select(col("bq"), col("qstar"),
+        expr("((budget - coalesce(used, 0)) * 1000000) div btoks").as("rate_e6"))
+    val draw = col("did") % lit(1000003L) * lit(2654435761L) % lit(1000003L) % lit(1000000L)
+    scored.crossJoin(broadcast(cut))
+      .where((col("qstar").isNotNull && col("quality") >= col("qstar")) ||
+        (col("quality") === col("bq") && draw < col("rate_e6")))
+      .select("did", "quality", "n_tok")
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when a user's inter-event gap exceeds `gapSec`.
     * Per-user lag + running sum — window state bounded by one user's

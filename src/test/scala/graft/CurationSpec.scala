@@ -99,6 +99,24 @@ class CurationSpec extends SparkSpec {
     assert(replay.map(t => (t._1, t._2.toLong, t._3)).toSeq === expect.toSeq)
   }
 
+  test("token-budget selection hits the target within band variance and prefers quality") {
+    val scored = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id").as("did"),
+        graft.ops.TextOps.qualityScore(col("text")).as("quality"),
+        graft.ops.TextOps.wordCount(col("text")).as("n_tok"))
+    val total = scored.agg(sum("n_tok")).head.getLong(0)
+    val sel = CurationOps.tokenBudgetSelect(scored, num = 6, den = 10)
+    val got = sel.agg(sum("n_tok")).head.getLong(0)
+    assert(math.abs(got.toDouble / total - 0.6) < 0.05, s"selected $got of $total")
+    // quality dominance: every selected doc is at least as good as every
+    // excluded doc outside the boundary band
+    val minSel = sel.agg(min("quality")).head.getLong(0)
+    val dropped = scored.join(sel.select("did"), Seq("did"), "left_anti")
+    assert(dropped.where(col("quality") > minSel).count() === 0L)
+    // a full budget selects everything
+    assert(CurationOps.tokenBudgetSelect(scored, num = 1, den = 1).count() === scored.count())
+  }
+
   test("sessionize splits exactly at the gap and conserves events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val sess = CurationOps.sessionize(ev, gapSec = 1800)

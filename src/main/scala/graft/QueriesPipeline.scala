@@ -206,6 +206,20 @@ object QueriesPipeline {
         .except(d.where(col("lang") === "en").select(col("doc_id").as("did")))
     }),
 
+    // pivot: hour × event_type count matrix (Spark's native pivot; the
+    // twin is the equivalent conditional aggregation — one shuffle either
+    // way, column set fixed by the explicit value list, never discovered
+    // at runtime from data)
+    "q10_pivot" -> ((s, dir) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      events(s, dir)
+        .groupBy(floor(unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+          .cast("long").as("hour_bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+    }),
+
     // as-of join (operator Spark lacks natively): each event picks up the
     // latest config update with update.us <= event.us for its user —
     // union + last(ignoreNulls) window, one shuffle on the key, no
@@ -765,6 +779,15 @@ object QueriesPipeline {
       """SELECT doc_id AS did FROM documents WHERE source='src0'
         |EXCEPT
         |SELECT doc_id AS did FROM documents WHERE lang='en'""".stripMargin,
+
+    "q10_pivot" ->
+      """SELECT cast(floor(epoch_us(ts)/3600000000) AS bigint) AS hour_bucket,
+        |  cast(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS bigint) AS view,
+        |  cast(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS bigint) AS click,
+        |  cast(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS bigint) AS purchase,
+        |  cast(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS bigint) AS signup,
+        |  cast(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS bigint) AS error
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q08_asof_enrich" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -206,6 +206,25 @@ object QueriesPipeline {
         .except(d.where(col("lang") === "en").select(col("doc_id").as("did")))
     }),
 
+    // funnel: ordered view→click→purchase conversion per user. Each stage
+    // is a conditional min AFTER the previous stage's timestamp — three
+    // user-keyed aggregates (no per-user sort, no window over event rows)
+    "e07_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("v_us"))
+      val c = ev.join(v, "user_id")
+        .where(col("event_type") === "click" && col("us") >= col("v_us"))
+        .groupBy("user_id").agg(min(col("us")).as("c_us"))
+      val p = ev.join(c, "user_id")
+        .where(col("event_type") === "purchase" && col("us") >= col("c_us"))
+        .groupBy("user_id").agg(min(col("us")).as("p_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+          when(col("p_us").isNotNull, 1L).otherwise(0L).as("converted"))
+    }),
+
     // pivot: hour × event_type count matrix (Spark's native pivot; the
     // twin is the equivalent conditional aggregation — one shuffle either
     // way, column set fixed by the explicit value list, never discovered
@@ -779,6 +798,17 @@ object QueriesPipeline {
       """SELECT doc_id AS did FROM documents WHERE source='src0'
         |EXCEPT
         |SELECT doc_id AS did FROM documents WHERE lang='en'""".stripMargin,
+
+    "e07_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM ev WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.us) AS c_us FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type='click' AND e.us >= v.v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.us) AS p_us FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type='purchase' AND e.us >= c.c_us GROUP BY 1)
+        |SELECT v.user_id, v.v_us, c.c_us, p.p_us,
+        |  CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
 
     "q10_pivot" ->
       """SELECT cast(floor(epoch_us(ts)/3600000000) AS bigint) AS hour_bucket,

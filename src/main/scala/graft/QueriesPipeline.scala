@@ -206,6 +206,22 @@ object QueriesPipeline {
         .except(d.where(col("lang") === "en").select(col("doc_id").as("did")))
     }),
 
+    // retention cohorts: users bucketed by first-seen day, counted in
+    // each later day they return — the (cohort, offset) matrix every
+    // behavioral pipeline reports. Two user-keyed aggregates, no windows
+    "e08_retention" -> ((s, dir) => {
+      val day = 86400000000L // µs per day
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val first = ev.groupBy("user_id").agg(min(col("us")).as("first_us"))
+        .withColumn("cohort", expr(s"first_us div $day"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          (expr(s"us div $day") - col("cohort")).as("day_offset"))
+        .distinct()
+        .groupBy("cohort", "day_offset").agg(count(lit(1)).as("users"))
+    }),
+
     // funnel: ordered view→click→purchase conversion per user. Each stage
     // is a conditional min AFTER the previous stage's timestamp — three
     // user-keyed aggregates (no per-user sort, no window over event rows)
@@ -798,6 +814,14 @@ object QueriesPipeline {
       """SELECT doc_id AS did FROM documents WHERE source='src0'
         |EXCEPT
         |SELECT doc_id AS did FROM documents WHERE lang='en'""".stripMargin,
+
+    "e08_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |first AS (SELECT user_id, min(us) // 86400000000 AS cohort FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort,
+        |    (e.us // 86400000000) - f.cohort AS day_offset
+        |  FROM ev e JOIN first f USING (user_id))
+        |SELECT cohort, day_offset, count(*) AS users FROM act GROUP BY 1, 2""".stripMargin,
 
     "e07_funnel" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),

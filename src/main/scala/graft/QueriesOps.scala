@@ -386,6 +386,12 @@ object QueriesOps {
           TextOps.wordCount(col("text")).as("n_tok")),
         num = 6, den = 10)),
 
+    // per-source token-distribution drift vs the corpus (integer-exact
+    // total-variation distance) — the data-mix diagnostic
+    "t10_source_drift" -> ((s, dir) =>
+      graft.ops.CurationOps.sourceDrift(
+        Tables.tokens(s, dir).select(col("source"), explode(col("tokens")).as("tok")))),
+
     // deterministic domain-mix resampling by per-source target rates
     "k06_domain_mix" -> ((s, dir) =>
       graft.ops.CurationOps.domainMixSample(docs(s, dir))),
@@ -779,6 +785,21 @@ object QueriesOps {
         |WHERE b.did % 89 <> 7 AND b.lang_pred = 'en' AND b.quality >= 80
         |  AND r.top_bi_e6 <= 200000
         |  AND b.did NOT IN (SELECT did FROM cont)""".stripMargin),
+
+    "t10_source_drift" -> withCtes(ToksCte,
+      "tv AS (SELECT source, unnest(tokens) AS tok FROM toks)",
+      "st AS (SELECT source, tok, count(*) AS c FROM tv GROUP BY 1, 2)",
+      "srctot AS (SELECT source, cast(sum(c) AS bigint) AS ns FROM st GROUP BY 1)",
+      "gtok AS (SELECT tok, cast(sum(c) AS bigint) AS ct FROM st GROUP BY 1)",
+      "tot AS (SELECT cast(sum(ct) AS bigint) AS n FROM gtok)")(
+      """SELECT source,
+        |  ((l1_present + (n - cov) * ns) * 1000000) // (2 * n * ns) AS tv_e6
+        |FROM (
+        |  SELECT st.source,
+        |    cast(sum(abs(st.c * n - ct * ns)) AS bigint) AS l1_present,
+        |    cast(sum(ct) AS bigint) AS cov, min(ns) AS ns, min(n) AS n
+        |  FROM st JOIN gtok USING (tok) JOIN srctot USING (source) CROSS JOIN tot
+        |  GROUP BY 1)""".stripMargin),
 
     "k10_token_budget" ->
       s"""WITH base AS (

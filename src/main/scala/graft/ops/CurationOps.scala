@@ -249,6 +249,32 @@ object CurationOps {
       .select("did", "quality", "n_tok")
   }
 
+  /** Per-source token-distribution drift vs the whole corpus, as an
+    * integer-exact total-variation distance: TV(s) = Σ_t |p_s(t) − p(t)|/2
+    * computed cross-multiplied — |c_st·N − C_t·n_s| over int64, summed,
+    * then one integer division into micro-units — so no double ever sums
+    * through an unordered aggregate. Tokens absent from a source
+    * contribute C_t·n_s via the closed form (N − cov_s)·n_s rather than a
+    * dense join. The global token table is domain-bounded (the 2^15 hash
+    * space) → broadcast; safe for corpora up to ~2^31 tokens per side of
+    * the product (shard the corpus beyond that).
+    *
+    * The data-mix diagnostic: a source whose distribution drifts from the
+    * mix (TV → 1) is over-represented boilerplate or off-domain spill.
+    */
+  def sourceDrift(toks: DataFrame): DataFrame = {
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val srcTot = st.groupBy("source").agg(sum(col("c")).as("ns"))
+    val glob = st.groupBy("tok").agg(sum(col("c")).as("ct"))
+    val tot = glob.agg(sum(col("ct")).as("n"))
+    st.join(broadcast(glob), "tok").join(srcTot, "source").crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(sum(abs(col("c") * col("n") - col("ct") * col("ns"))).as("l1_present"),
+        sum(col("ct")).as("cov"), min(col("ns")).as("ns"), min(col("n")).as("n"))
+      .select(col("source"),
+        expr("((l1_present + (n - cov) * ns) * 1000000) div (2 * n * ns)").as("tv_e6"))
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when a user's inter-event gap exceeds `gapSec`.
     * Per-user lag + running sum — window state bounded by one user's

@@ -79,4 +79,31 @@ class PlanAuditSpec extends SparkSpec {
       c.contains("label") && c.contains("blk")
     }, "near-dup join must carry the id-block in its equi-key")
   }
+
+  test("d10 decontamination and t08 LM familiarity broadcast their small side") {
+    for (name <- Seq("d10_decontaminate", "t08_lm_familiarity")) {
+      val plan = SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name must broadcast its bounded side (eval set / LM table):\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to a non-equi join")
+    }
+  }
+
+  test("k10 token-budget selection has no window over corpus-sized input") {
+    val q = SparkEntry.queries("k10_token_budget")(spark, Sf)
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    // every window must sit above an Aggregate (the ≤101-row band table)
+    wins.foreach { w =>
+      def aggBelow(p: LogicalPlan): Boolean = p match {
+        case _: Aggregate => true
+        case f: Filter => aggBelow(f.child)
+        case pr: Project => aggBelow(pr.child)
+        case j: Join => j.children.exists(aggBelow)
+        case _ => false
+      }
+      assert(aggBelow(w.child),
+        s"k10 window runs over non-aggregated (corpus-sized) input:\n${w.child.treeString}")
+    }
+  }
 }

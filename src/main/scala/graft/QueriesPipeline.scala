@@ -206,6 +206,19 @@ object QueriesPipeline {
         .except(d.where(col("lang") === "en").select(col("doc_id").as("did")))
     }),
 
+    // rate anomaly: 10-min buckets where a user's event count reaches 1.5×
+    // their own average bucket rate — the threshold comparison is
+    // cross-multiplied (2·cnt·n_buckets ≥ 3·total) so no division/doubles
+    "e09_rate_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("unix_micros(cast(ts AS timestamp)) div 600000000").as("bucket"))
+      val b = ev.groupBy("user_id", "bucket").agg(count(lit(1)).as("cnt"))
+      val st = b.groupBy("user_id").agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nb"))
+      b.join(st, "user_id")
+        .where(col("cnt") * col("nb") * 2 >= col("tot") * 3)
+        .select("user_id", "bucket", "cnt", "tot", "nb")
+    }),
+
     // retention cohorts: users bucketed by first-seen day, counted in
     // each later day they return — the (cohort, offset) matrix every
     // behavioral pipeline reports. Two user-keyed aggregates, no windows
@@ -814,6 +827,16 @@ object QueriesPipeline {
       """SELECT doc_id AS did FROM documents WHERE source='src0'
         |EXCEPT
         |SELECT doc_id AS did FROM documents WHERE lang='en'""".stripMargin,
+
+    "e09_rate_anomaly" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 600000000 AS bucket, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT user_id, cast(sum(cnt) AS bigint) AS tot, count(*) AS nb
+        |       FROM b GROUP BY 1)
+        |SELECT b.user_id, b.bucket, b.cnt, st.tot, st.nb
+        |FROM b JOIN st USING (user_id)
+        |WHERE b.cnt * st.nb * 2 >= st.tot * 3""".stripMargin,
 
     "e08_retention" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -131,8 +131,11 @@ object QueriesOps {
       val sh = shingleRows(s, dir).localCheckpoint(true)
       val pairs = DedupOps.lshCandidatesRows(sh, k = 16, r = 4)
       DedupOps.jaccardRows(sh, pairs)
+        // jac_e6 from INTEGERS (inter·1e6 div union): round(x,6) lands on
+        // exact half boundaries (41/640 = .0640625) where the engines'
+        // half-modes differ — integer floor-division cannot
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"),
-          round(col("jaccard") * 1e6).cast("long").as("jac_e6"))
+          expr("(inter * 1000000) div (sz_a + sz_b - inter)").as("jac_e6"))
     }),
 
     "d05_simhash" -> ((s, dir) =>
@@ -505,7 +508,7 @@ object QueriesOps {
 
     "d04_lsh_jaccard" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
       """SELECT i.doc_a, i.doc_b, i.inter, x.sz AS sz_a, y.sz AS sz_b,
-        |  cast(round(round(i.inter*1.0/(x.sz + y.sz - i.inter), 6)*1000000) AS bigint) AS jac_e6
+        |  (i.inter * 1000000) // (x.sz + y.sz - i.inter) AS jac_e6
         |FROM (
         |  SELECT p.doc_a, p.doc_b, count(*) AS inter
         |  FROM spairs p

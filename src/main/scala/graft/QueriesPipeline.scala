@@ -180,11 +180,14 @@ object QueriesPipeline {
         .select("source", "lang", "records", "sum_chars")),
 
     "q03_join" -> ((s, dir) =>
+      // per-ROW integer cents before the sum: a rounded sum of doubles is
+      // addition-order-dependent — at sf0.1 the parallel vs sequential
+      // orders flipped 110 rows by one cent (sf0.01 happened to agree)
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "c_mktsegment").agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100).cast("long").as("revenue_cents"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("revenue_cents"),
           count(lit(1)).as("line_cnt"))),
 
     "q05_broadcast" -> ((s, dir) =>
@@ -803,7 +806,7 @@ object QueriesPipeline {
 
     "q03_join" ->
       """SELECT l_orderkey, c_mktsegment,
-        |  cast(round(sum(l_extendedprice*(1-l_discount))*100) AS bigint) AS revenue_cents,
+        |  cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) AS bigint)) AS bigint) AS revenue_cents,
         |  count(*) AS line_cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

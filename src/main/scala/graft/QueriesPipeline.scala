@@ -454,7 +454,7 @@ object QueriesPipeline {
         col("field_types").as("types"))
         .as[graft.streaming.Templates.NfRec]
       graft.streaming.Templates.decodeBatch(ds).toDF()
-        .select(col("exporter").cast("int").as("exporter_id"),
+        .select(col("exporter").cast("long").as("exporter_id"),
           col("templateId").as("template_id"), col("seq"),
           col("recIdx").as("rec_idx"), col("decoded"),
           element_at(col("fields"), 1).as("srcaddr"),
@@ -474,7 +474,7 @@ object QueriesPipeline {
         col("field_types").as("types"))
         .as[graft.streaming.Templates.NfRec]
       graft.streaming.Templates.decodeBatch(ds).toDF()
-        .select(col("exporter").cast("int").as("exporter_id"),
+        .select(col("exporter").cast("long").as("exporter_id"),
           col("templateId").as("template_id"), col("seq"), col("decoded"),
           element_at(col("fields"), 1).as("scope_system"),
           element_at(col("fields"), 2).as("in_bytes"))
@@ -495,7 +495,7 @@ object QueriesPipeline {
         col("field_types").as("types"))
         .as[graft.streaming.Templates.NfRec]
       graft.streaming.Templates.decodeBatch(ds).toDF().where(col("decoded"))
-        .select(col("exporter").cast("int").as("exporter_id"), col("seq"),
+        .select(col("exporter").cast("long").as("exporter_id"), col("seq"),
           col("recIdx").as("rec_idx"),
           posexplode(arrays_zip(col("types"), col("fields"))))
         .select(col("exporter_id"), col("seq"), col("rec_idx"),
@@ -977,7 +977,7 @@ object QueriesPipeline {
 
     "p27_netflow_v9" -> withCtes(V2Cte)(
       """SELECT
-        |  cast((did//10) % 4294967296 AS int) AS exporter_id,
+        |  cast((did//10) % 4294967296 AS bigint) AS exporter_id,
         |  cast(CASE WHEN did % 10 = 5 THEN 256 + (did//10) % 100 + 101
         |            ELSE 256 + (did//10) % 100 END AS int) AS template_id,
         |  CASE WHEN did % 10 = 1 THEN did + 8 ELSE did + 10 END AS seq,
@@ -1031,7 +1031,7 @@ object QueriesPipeline {
         |FROM v2""".stripMargin),
 
     "p29_netflow_v9_options" -> withCtes(V2Cte)(
-      """SELECT cast((did//2) % 4294967296 AS int) AS exporter_id,
+      """SELECT cast((did//2) % 4294967296 AS bigint) AS exporter_id,
         |  cast(512 + (did//2) % 50 AS int) AS template_id,
         |  did + 10 AS seq, true AS decoded,
         |  (did * 3) % 65536 AS scope_system,
@@ -1059,7 +1059,7 @@ object QueriesPipeline {
           |    (did * 7919 + 5) % 4294967296 AS a2,
           |    unnest(range(11)) AS j
           |  FROM v2 WHERE did % 2 = 1)""".stripMargin)(
-        s"""SELECT cast((did//2) % 4294967296 AS int) AS exporter_id,
+        s"""SELECT cast((did//2) % 4294967296 AS bigint) AS exporter_id,
            |  did + 10 AS seq, cast(0 AS int) AS rec_idx, cast(j AS int) AS field_idx,
            |  CASE j $names ELSE 'ForwardingStatus' END AS field_name,
            |  CASE j

@@ -34,11 +34,20 @@ object AsOf {
   def asOf(probe: DataFrame, build: DataFrame, keyCol: String, tsCol: String,
            valueCol: String, probeCols: Seq[String]): DataFrame = {
     // tag sorts build rows BEFORE probe rows at equal ts: an update taking
-    // effect at ts applies to events at the same ts (ASOF >= semantics)
-    val bCols = Seq(col(keyCol), col(tsCol), lit(0).as("__tag"), col(valueCol).as("__v")) ++
+    // effect at ts applies to events at the same ts (ASOF >= semantics).
+    // The build value rides inside a one-field STRUCT marker: the struct is
+    // non-null for every build row even when the value itself is NULL, so
+    // `last(_, ignoreNulls)` matches a genuinely-NULL build value (yielding
+    // NULL, like DuckDB's ASOF JOIN) instead of skipping that row and
+    // carrying the previous config forward
+    val vType = build.schema(valueCol).dataType
+    val bCols = Seq(col(keyCol), col(tsCol), lit(0).as("__tag"),
+      struct(col(valueCol).as("v")).as("__v")) ++
       probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c))
     val pCols = Seq(col(keyCol), col(tsCol), lit(1).as("__tag"),
-      lit(null).cast(build.schema(valueCol).dataType).as("__v")) ++ probeCols.map(col)
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("v", vType)))).as("__v")) ++
+      probeCols.map(col)
     val b = build.select(bCols: _*)
     val p = probe.select(pCols: _*)
     val w = Window.partitionBy(col(keyCol))
@@ -47,7 +56,8 @@ object AsOf {
     b.unionByName(p)
       .withColumn("__eff", last(col("__v"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .select(col(keyCol) +: col(tsCol) +: probeCols.map(col) :+ col("__eff").as(s"asof_$valueCol"): _*)
+      .select(col(keyCol) +: col(tsCol) +: probeCols.map(col) :+
+        col("__eff").getField("v").as(s"asof_$valueCol"): _*)
   }
 
   /** Range (interval) join. `probe` needs (value, …); `ranges` needs

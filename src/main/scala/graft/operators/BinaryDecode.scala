@@ -133,8 +133,11 @@ object BinaryDecode {
     // a further flowset header fits after the LAST walked offset → the walk
     // was cut short by maxFlowsets (per-packet flag, same value on each row)
     val oLast = offsets.last
+    // `+ 3` matches the walked-flowset validity check (`length(p) >= o + 3`
+    // under the 1-based convention): a skipped flowset whose 4-byte header
+    // ends exactly at the buffer's last byte is still a truncation
     val truncated = length(p) >= oLast + 3 &&
-      length(p) >= oLast + beUintAt(p, (oLast + 2).cast("int"), 2) + 4
+      length(p) >= oLast + beUintAt(p, (oLast + 2).cast("int"), 2) + 3
     base
       .withColumn("is_template", fsId <= 1L)
       .withColumn("template_id", when(fsId <= 1L, tplId).otherwise(fsId).cast("int"))

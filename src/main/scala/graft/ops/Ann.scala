@@ -147,9 +147,14 @@ object Ann {
       .select(col("vec_id").as("q_id") +: (0 until kProj).map(t => col(s"s$t").as(s"qs$t")): _*)
     val cs = sk
       .select(col("vec_id").as("c_id") +: (0 until kProj).map(t => col(s"s$t").as(s"cs$t")): _*)
+    // materialized once: the Q×N sketch-cosine join feeds BOTH the histogram
+    // pass and the threshold re-scan — without this the dominant join + 32-term
+    // cosine chain runs twice per query batch (at cluster scale: persist to the
+    // shuffle service / a scratch table instead of local disk)
     val scored = qs.join(cs, col("c_id") =!= col("q_id"))
       .withColumn("ski", floor(sketchCos(kProj, "qs", "cs") * lit(1e6)).cast("long"))
       .select("q_id", "c_id", "ski")
+      .localCheckpoint(true)
     val hist = scored.groupBy("q_id", "ski").agg(count(lit(1)).as("n"))
     val wCum = Window.partitionBy(col("q_id")).orderBy(col("ski").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

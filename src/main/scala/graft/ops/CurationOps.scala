@@ -129,10 +129,14 @@ object CurationOps {
     */
   def lmFamiliarity(docs: DataFrame): DataFrame = {
     def a(off: Int): Column = ascii(col("text").substr(col("i") + lit(off), lit(1)))
+    // materialized once: `tri` feeds the LM count AND the score join — an
+    // unmaterialized plan re-runs the corpus trigram explode for each consumer
+    // (two full corpus scans at 100 TB where one pass suffices)
     val tri = docs.where(length(col("text")) >= 3)
       .select(col("doc_id").as("did"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
       .select(col("did"), ((a(0) * 31 + a(1)) * 31 + a(2)).cast("long").as("g"))
+      .localCheckpoint(true)
     val lm = tri.groupBy("g").agg(count(lit(1)).as("cnt"))
     tri.join(broadcast(lm), "g")
       .groupBy("did").agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 import graft.ops.CurationOps
 
@@ -42,7 +43,8 @@ class SessionizePropSpec extends SparkSpec {
       jit <- Gen.oneOf(-1L, 0L, 1L, 500000L)
       cents <- Gen.chooseNum(-500L, 500L)
     } yield (user, k * GapUs + jit, cents)
-    val raw = Gen.listOfN(300, genEvt).sample.get.zipWithIndex
+    val raw = Gen.listOfN(300, genEvt)
+      .pureApply(Gen.Parameters.default, Seed(42L)).zipWithIndex
       .map { case ((u, off, c), i) => (u, i.toLong, base + off, c) }
     val df = raw.toDF("user_id", "event_id", "us", "cents")
       .select(col("user_id"), col("event_id"),

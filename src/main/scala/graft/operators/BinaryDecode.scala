@@ -195,18 +195,41 @@ object BinaryDecode {
   }
 
   /** pcap → NetFlow payloads: the typed per-file walk emits raw packet
-    * bytes; the Ethernet(14)+IPv4(20)+UDP(8) peel and the cflow-port filter
-    * (CFLOW_UDP_PORTS — src/parser/netflow/packet.rs:20,253) stay
-    * declarative Catalyst over those bytes, fused into one codegen'd pass.
-    * Output: one row per accepted packet with the NetFlow payload in `nf`.
+    * bytes; the L2/L3/L4 peel and the cflow-port filter (CFLOW_UDP_PORTS —
+    * src/parser/netflow/packet.rs:20,253) stay declarative Catalyst over
+    * those bytes, fused into one codegen'd pass. The peel mirrors the
+    * reference's parse_ethernet/parse_ipv4/parse_udp
+    * (packet.rs:175-227): 802.1Q VLAN tags (ethertype 0x8100 — skip the
+    * 2-byte TCI, read the inner ethertype) and DCE encapsulation (0x8903 —
+    * skip the extra 12-byte MAC pair) are unwrapped, and IPv4 headers with
+    * IHL > 5 have their option bytes consumed so the UDP header is found at
+    * its true offset. (The reference's option skip at packet.rs:211 forgets
+    * the ·4 — `consume(ihl − 20)` underflows for any real IHL>5 packet; the
+    * intended (ihl·4 − 20)-byte skip is implemented here, matching its
+    * stated boundary test packet.rs:1433.) Output: one row per accepted
+    * packet with the NetFlow payload in `nf`.
     */
   def pcapNetflowV5Payloads(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val d = col("data")
+    val et0 = beUint(d, 13, 2)
+    // 1-based offset of the IPv4 header after the L2 unwrap:
+    //   plain Ethernet       → 15
+    //   VLAN (TCI 2 + inner ethertype 2)      → 19
+    //   DCE  (MAC pair 12 + inner ethertype 2) → 29
+    val ipOff = when(et0 === 0x0800L, lit(15L))
+      .when(et0 === 0x8100L && beUint(d, 17, 2) === 0x0800L, lit(19L))
+      .when(et0 === 0x8903L && beUint(d, 27, 2) === 0x0800L, lit(29L))
+    val ihl = beUintAt(d, ipOff.cast("int"), 1) % 16L
+    // the fixed 20 IPv4 bytes always read; IHL>5 adds (ihl·4 − 20) option
+    // bytes before the UDP header (IHL<5 is malformed — treated as 20, the
+    // reference reads its fixed fields the same way)
+    val udpOff = ipOff + greatest(ihl * 4L, lit(20L))
     pcapPackets(files)
-      .where(beUint(d, 13, 2) === 0x0800L &&   // ethertype IPv4
-        beUint(d, 24, 1) === 17L &&            // IP proto UDP
-        beUint(d, 37, 2) === 2055L)            // cflow dst port
-      .withColumn("nf", d.substr(lit(43), length(d) - 42))
+      .where(ipOff.isNotNull &&
+        beUintAt(d, (ipOff + 9).cast("int"), 1) === 17L &&   // IP proto UDP
+        beUintAt(d, (udpOff + 2).cast("int"), 2) === 2055L)  // cflow dst port
+      .withColumn("nf", d.substr((udpOff + 8).cast("int"),
+        (length(d) - udpOff - 7).cast("int")))
       .select(col("path"), col("cap_sec"), col("nf"))
   }
 

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * src/collector/netflow.rs:58-66 opens pcap files, Ethernet link type
   * only; its own test fixture writer :320-344 is the byte-layout source):
   * little-endian global header (magic a1b2c3d4, v2.4, snaplen, linktype=1)
-  * then per packet (ts_sec, ts_usec, incl_len, orig_len LE) + Ethernet(14)
-  * + IPv4(20, proto=UDP) + UDP(8, dst port 2055 = cflow) + the NetFlow
-  * payload. Every 13th packet is addressed to a non-cflow port and must be
-  * skipped by the reader (the reference's CFLOW_UDP_PORTS filter,
+  * then per packet (ts_sec, ts_usec, incl_len, orig_len LE) + L2/L3
+  * encapsulation (plain Ethernet, 802.1Q VLAN-tagged, DCE, or IPv4 with
+  * IHL=6 options — rotating per doc to exercise the reference's full peel)
+  * + UDP(8, dst port 2055 = cflow) + the NetFlow payload. Every 13th
+  * packet is addressed to a non-cflow port and must be skipped by the
+  * reader (the reference's CFLOW_UDP_PORTS filter,
   * parser/netflow/packet.rs:253).
   *
   * The staging write (collect + Files.write) is FIXTURE GENERATION —
@@ -46,10 +48,26 @@ object Pcap {
       hexN(did % 4294967296L, 8))
     val dstPort = when(did % 13 === 0, lit(9999L)).otherwise(lit(2055L))
     val udp = concat(lit("0c00"), hexN(dstPort, 4), lit("0020"), lit("0000"))
-    val ip = concat(lit("45000034000000004011" + "0000" + "0a000001" + "0a000002"))
-    val eth = lit("000000000001" + "000000000002" + "0800")
-    val recHdr = concat(leHex4(secs), leHex4(lit(0L)), leHex4(lit(66L)), leHex4(lit(66L)))
-    concat(recHdr, eth, ip, udp, nf)
+    // L2/L3 encapsulation variants exercising the reference's full peel
+    // (packet.rs:175-211 and its tests :1358 VLAN, :1385 DCE, :1433 IHL):
+    //   did%7==1 → 802.1Q VLAN tag (ethertype 0x8100, TCI, inner 0x0800)
+    //   did%7==2 → IPv4 options: IHL=6, 4 option bytes (NOP,NOP,NOP,EOL)
+    //   did%7==3 → DCE (0x8903): extra MAC pair before the inner ethertype
+    //   otherwise → plain Ethernet + 20-byte IPv4
+    val ipPlain = lit("45000034000000004011" + "0000" + "0a000001" + "0a000002")
+    val ipOpts = lit("46000038000000004011" + "0000" + "0a000001" + "0a000002" + "01010100")
+    val ethPlain = lit("000000000001" + "000000000002" + "0800")
+    val ethVlan = lit("000000000001" + "000000000002" + "8100" + "0064" + "0800")
+    val ethDce = lit("000000000001" + "000000000002" + "8903" +
+      "000000000003" + "000000000004" + "0800")
+    val l2l3 = when(did % 7 === 1, concat(ethVlan, ipPlain))
+      .when(did % 7 === 2, concat(ethPlain, ipOpts))
+      .when(did % 7 === 3, concat(ethDce, ipPlain))
+      .otherwise(concat(ethPlain, ipPlain))
+    val incl = lit(66L) + when(did % 7 === 1, 4L).when(did % 7 === 2, 4L)
+      .when(did % 7 === 3, 14L).otherwise(0L)
+    val recHdr = concat(leHex4(secs), leHex4(lit(0L)), leHex4(incl), leHex4(incl))
+    concat(recHdr, l2l3, udp, nf)
   }
 
   /** Stage .pcap files (64 packets per file — deep enough that the typed
@@ -65,7 +83,7 @@ object Pcap {
     // layout change invalidates stale fixtures; `_`-prefixed files are
     // hidden from Spark's file index, like _SUCCESS)
     val nDocs = Tables.documents(spark, sfDir).count()
-    val spec = s"pcap-v3:${(nDocs + 63) / 64}"
+    val spec = s"pcap-v4:${(nDocs + 63) / 64}"
     val marker = new java.io.File(dir, "_spec.txt")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == spec)

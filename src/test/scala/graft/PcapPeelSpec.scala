@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BinaryDecode
+
+/** L2/L3 peel fidelity against hand-built captures — mirrors the
+  * reference's packet tests (/root/reference/src/parser/netflow/packet.rs:
+  * 1358 VLAN-tagged, 1385 DCE-encapsulated, 1433 minimum-IHL) plus the
+  * IHL=6 option-skip case its boundary test motivates: the UDP header and
+  * the NetFlow payload must be found at their true offsets under every
+  * encapsulation, and non-cflow ports must be dropped.
+  */
+class PcapPeelSpec extends SparkSpec {
+
+  private val GlobalHeader =
+    "d4c3b2a1" + "0200" + "0400" + "00000000" + "00000000" + "ffff0000" + "01000000"
+
+  /** UDP header (src 1000) + a recognizable 4-byte payload. */
+  private def udpAndPayload(dstPort: Int): String =
+    f"03e8" + f"$dstPort%04x" + "000c" + "0000" + "deadbeef"
+
+  private def ipv4(ihl: Int, payloadLen: Int): String = {
+    val optBytes = (ihl - 5) * 4
+    val totalLen = ihl * 4 + payloadLen
+    f"4$ihl%01x" + "00" + f"$totalLen%04x" + "1234" + "0000" + "40" + "11" +
+      "0000" + "0a000001" + "0a000002" + "01010100".take(optBytes * 2)
+  }
+
+  private val EthPlain = "000000000000" + "010203040506" + "0800"
+  private val EthVlan = "000000000000" + "010203040506" + "8100" + "0064" + "0800"
+  private val EthDce = "000000000000" + "010203040506" + "8903" +
+    "000000000000" + "0708090a0b0c" + "0800"
+
+  private def pcapFile(packets: Seq[String]): Array[Byte] = {
+    def le4(v: Int): String =
+      f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+    val recs = packets.map { p =>
+      val n = p.length / 2
+      le4(100) + le4(0) + le4(n) + le4(n) + p
+    }
+    (GlobalHeader + recs.mkString).grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  private def peel(bytes: Array[Byte]): Seq[String] = {
+    val dir = Files.createTempDirectory("graft-pcap-peel")
+    Files.write(Paths.get(dir.toString, "t.pcap"), bytes)
+    val files = spark.read.format("binaryFile").load(dir.toString)
+    BinaryDecode.pcapNetflowV5Payloads(files)
+      .select(hex(col("nf"))).collect().map(_.getString(0).toLowerCase).toSeq
+  }
+
+  test("VLAN-tagged, DCE-encapsulated, and IHL=6 packets all yield the payload at its true offset") {
+    val out = peel(pcapFile(Seq(
+      EthPlain + ipv4(5, 12) + udpAndPayload(2055),
+      EthVlan + ipv4(5, 12) + udpAndPayload(2055),
+      EthDce + ipv4(5, 12) + udpAndPayload(2055),
+      EthPlain + ipv4(6, 12) + udpAndPayload(2055))))
+    assert(out === Seq.fill(4)("deadbeef"))
+  }
+
+  test("non-cflow ports, non-IPv4 ethertypes, and non-UDP protocols are dropped") {
+    val tcp = EthPlain + ("45" + "00" + "0028" + "1234" + "0000" + "40" + "06" +
+      "0000" + "0a000001" + "0a000002") + udpAndPayload(2055)
+    val arp = "000000000000" + "010203040506" + "0806" + ipv4(5, 12) + udpAndPayload(2055)
+    val out = peel(pcapFile(Seq(
+      EthPlain + ipv4(5, 12) + udpAndPayload(9999),
+      tcp, arp,
+      EthVlan + ipv4(5, 12) + udpAndPayload(2055))))
+    assert(out === Seq("deadbeef"))
+  }
+}

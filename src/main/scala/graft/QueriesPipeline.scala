@@ -451,7 +451,7 @@ object QueriesPipeline {
       val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
         col("seq"), col("is_template").as("isTemplate"), col("widths"),
         col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"))
+        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
         .as[graft.streaming.Templates.NfRec]
       graft.streaming.Templates.decodeBatch(ds).toDF()
         .select(col("exporter").cast("long").as("exporter_id"),
@@ -471,7 +471,7 @@ object QueriesPipeline {
       val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
         col("seq"), col("is_template").as("isTemplate"), col("widths"),
         col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"))
+        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
         .as[graft.streaming.Templates.NfRec]
       graft.streaming.Templates.decodeBatch(ds).toDF()
         .select(col("exporter").cast("long").as("exporter_id"),
@@ -492,17 +492,44 @@ object QueriesPipeline {
       val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
         col("seq"), col("is_template").as("isTemplate"), col("widths"),
         col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"))
+        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
         .as[graft.streaming.Templates.NfRec]
       graft.streaming.Templates.decodeBatch(ds).toDF().where(col("decoded"))
         .select(col("exporter").cast("long").as("exporter_id"), col("seq"),
           col("recIdx").as("rec_idx"),
-          posexplode(arrays_zip(col("types"), col("fields"))))
+          posexplode(arrays_zip(col("types"), col("fields"), col("raws"))))
         .select(col("exporter_id"), col("seq"), col("rec_idx"),
           col("pos").cast("int").as("field_idx"),
           graft.operators.BinaryDecode.v9TypeName(col("col.types")).as("field_name"),
-          graft.operators.BinaryDecode.v9Render(col("col.types"), col("col.fields"))
-            .as("rendered"))
+          graft.operators.BinaryDecode.v9Render(col("col.types"), col("col.fields"),
+            col("col.raws")).as("rendered"))
+    }),
+
+    // v9 OPTIONS records rendered reference-style (packet.rs:484-505): the
+    // first scope_cnt fields carry OptionsScopeFieldTypes names + the Ascii
+    // (lowercase hex) render, the rest FieldTypes names + type-aware values
+    "p31_netflow_v9_options_typed" -> ((s, dir) => {
+      import s.implicits._
+      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9OptionsPackets(s, dir))
+      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
+        col("seq"), col("is_template").as("isTemplate"), col("widths"),
+        col("payload"), col("max_recs").as("maxRecs"),
+        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
+        .as[graft.streaming.Templates.NfRec]
+      graft.streaming.Templates.decodeBatch(ds).toDF().where(col("decoded"))
+        .select(col("exporter").cast("long").as("exporter_id"), col("seq"),
+          col("scopeCnt"),
+          posexplode(arrays_zip(col("types"), col("fields"), col("raws"))))
+        .select(col("exporter_id"), col("seq"),
+          col("pos").cast("int").as("field_idx"),
+          when(col("pos") < col("scopeCnt"),
+            graft.operators.BinaryDecode.v9ScopeName(col("col.types")))
+            .otherwise(graft.operators.BinaryDecode.v9TypeName(col("col.types")))
+            .as("field_name"),
+          when(col("pos") < col("scopeCnt"),
+            graft.operators.BinaryDecode.v9AsciiString(col("col.fields"), col("col.raws")))
+            .otherwise(graft.operators.BinaryDecode.v9Render(col("col.types"),
+              col("col.fields"), col("col.raws"))).as("rendered"))
     }),
 
     // NetFlow stats counters (reference src/parser/netflow/statistics.rs):
@@ -514,7 +541,7 @@ object QueriesPipeline {
       val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
         col("seq"), col("is_template").as("isTemplate"), col("widths"),
         col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"))
+        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
         .as[graft.streaming.Templates.NfRec]
       val fs = recs.agg(
         sum(when(col("is_template"), 1L).otherwise(0L)).as("template_flowsets"),
@@ -979,6 +1006,7 @@ object QueriesPipeline {
       """SELECT
         |  cast((did//10) % 4294967296 AS bigint) AS exporter_id,
         |  cast(CASE WHEN did % 10 = 5 THEN 256 + (did//10) % 100 + 101
+        |            WHEN did % 10 = 3 THEN 256 + (did//10) % 100 + 200
         |            ELSE 256 + (did//10) % 100 END AS int) AS template_id,
         |  CASE WHEN did % 10 = 1 THEN did + 8 ELSE did + 10 END AS seq,
         |  cast(j AS int) AS rec_idx,
@@ -1032,11 +1060,21 @@ object QueriesPipeline {
 
     "p29_netflow_v9_options" -> withCtes(V2Cte)(
       """SELECT cast((did//2) % 4294967296 AS bigint) AS exporter_id,
-        |  cast(512 + (did//2) % 50 AS int) AS template_id,
+        |  cast(CASE WHEN did % 4 = 3 THEN 600 + (did//2) % 50
+        |            ELSE 512 + (did//2) % 50 END AS int) AS template_id,
         |  did + 10 AS seq, true AS decoded,
         |  (did * 3) % 65536 AS scope_system,
         |  (did % 1000003) * 2654435761 % 4294967296 AS in_bytes
         |FROM v2 WHERE did % 2 = 1""".stripMargin),
+
+    "p31_netflow_v9_options_typed" -> withCtes(V2Cte)(
+      """SELECT cast((did//2) % 4294967296 AS bigint) AS exporter_id,
+        |  did + 10 AS seq, cast(j AS int) AS field_idx,
+        |  CASE j WHEN 0 THEN 'System' ELSE 'InBytes' END AS field_name,
+        |  CASE j WHEN 0 THEN lower(to_hex((did * 3) % 65536))
+        |         ELSE cast((did % 1000003) * 2654435761 % 4294967296 AS varchar)
+        |  END AS rendered
+        |FROM (SELECT *, unnest(range(2)) AS j FROM v2 WHERE did % 2 = 1)""".stripMargin),
 
     "p30_netflow_v9_typed" -> {
       def dotted(a: String): String =
@@ -1044,44 +1082,61 @@ object QueriesPipeline {
           s"cast(cast(floor($a/65536) AS bigint) % 256 AS varchar) || '.' || " +
           s"cast(cast(floor($a/256) AS bigint) % 256 AS varchar) || '.' || " +
           s"cast($a % 256 AS varchar)"
-      // TCP_FLAGS table order and masks verbatim (incl. CWR's 0x08)
+      // TCP_FLAGS table order and masks verbatim (incl. CWR's 0x08, so 0x08
+      // renders "PSH-CWR"); no flag in the table set → "None" (mask 0x80 is
+      // absent from the table, hence the &127 emptiness test)
       val flags = Seq(1 -> "FIN", 2 -> "SYN", 4 -> "RST", 8 -> "PSH",
         16 -> "ACK", 32 -> "URG", 64 -> "ECE", 8 -> "CWR")
-        .map { case (m, n) => s"CASE WHEN ((did % 256) & $m) > 0 THEN '$n' END" }
-        .mkString("concat_ws('|', ", ", ", ")")
+        .map { case (m, n) => s"CASE WHEN ((did % 256) & $m) = $m THEN '$n' END" }
+        .mkString("concat_ws('-', ", ", ", ")")
+      val flagsOrNone = s"CASE WHEN (did % 256) & 127 = 0 THEN 'None' ELSE $flags END"
+      // group i (1-based) of the IPv6 fixture value; nonzero u16 by design
+      def g6(i: Int): String = s"((did * ${i + 2}) % 64999 + 1)"
+      def h6(i: Int): String = s"lower(to_hex(${g6(i)}))"
+      val ip6 = s"CASE did % 3 WHEN 0 THEN ${(1 to 8).map(h6).mkString(" || ':' || ")} " +
+        s"WHEN 1 THEN ${h6(1)} || ':' || ${h6(2)} || '::' || ${h6(7)} || ':' || ${h6(8)} " +
+        s"ELSE '::' || ${h6(8)} END"
       val names = Seq("IPv4SrcAddr", "IPv4DstAddr", "L4SrcPort", "L4DstPort",
-        "Protocol", "TCPFlags", "InBytes", "InPackets", "SrcTos", "OutBytes")
+        "Protocol", "TCPFlags", "InBytes", "InPackets", "SrcTos", "OutBytes",
+        "ForwardingStatus", "IPv6SrcAddr", "IfDesc", "SamplerName", "Unknown")
         .zipWithIndex.map { case (n, j) => s"WHEN $j THEN '$n'" }.mkString(" ")
       withCtes(V2Cte,
         """f AS (
           |  SELECT doc_id, did,
           |    (did % 1000003) * 2654435761 % 4294967296 AS a1,
           |    (did * 7919 + 5) % 4294967296 AS a2,
-          |    unnest(range(11)) AS j
+          |    unnest(range(16)) AS j
           |  FROM v2 WHERE did % 2 = 1)""".stripMargin)(
         s"""SELECT cast((did//2) % 4294967296 AS bigint) AS exporter_id,
            |  did + 10 AS seq, cast(0 AS int) AS rec_idx, cast(j AS int) AS field_idx,
-           |  CASE j $names ELSE 'ForwardingStatus' END AS field_name,
+           |  CASE j $names ELSE 'SrcVLAN' END AS field_name,
            |  CASE j
            |    WHEN 0 THEN ${dotted("a1")}
            |    WHEN 1 THEN ${dotted("a2")}
            |    WHEN 2 THEN cast(1024 + did % 60000 AS varchar)
            |    WHEN 3 THEN '443'
            |    WHEN 4 THEN '6'
-           |    WHEN 5 THEN $flags
+           |    WHEN 5 THEN $flagsOrNone
            |    WHEN 6 THEN cast(did % 4294967296 AS varchar)
            |    WHEN 7 THEN cast(did % 1000 AS varchar)
            |    WHEN 8 THEN cast((did * 3) % 256 AS varchar)
            |    WHEN 9 THEN cast((did * 11) % 4294967296 AS varchar)
-           |    ELSE CASE did % 4 WHEN 0 THEN 'Unknown' WHEN 1 THEN 'Forwarded (Unknown)'
-           |         WHEN 2 THEN 'Forwarded (Fragmented)' ELSE 'Forwarded (Not Fragmented)' END
+           |    WHEN 10 THEN CASE did % 5 WHEN 0 THEN 'Unknown'
+           |         WHEN 1 THEN 'Forwarded (Unknown)'
+           |         WHEN 2 THEN 'Forwarded (Fragmented)'
+           |         WHEN 3 THEN 'Forwarded (Not Fragmented)' ELSE '77' END
+           |    WHEN 11 THEN $ip6
+           |    WHEN 12 THEN 'eth' || cast(did % 10 AS varchar)
+           |    WHEN 13 THEN '-'
+           |    WHEN 14 THEN '0'
+           |    ELSE cast(did % 4096 AS varchar)
            |  END AS rendered
            |FROM f""".stripMargin)
     },
 
     "p28_netflow_stats" -> withCtes(V2Cte)(
       """SELECT
-        |  cast(sum(CASE WHEN did % 10 = 0 THEN 1 ELSE 0 END) AS bigint) AS template_flowsets,
+        |  cast(sum(CASE WHEN did % 10 = 0 THEN 2 ELSE 0 END) AS bigint) AS template_flowsets,
         |  cast(sum(CASE WHEN did % 10 <> 0 THEN 1 ELSE 0 END) AS bigint) AS data_flowsets,
         |  cast(0 AS bigint) AS truncated_flowsets,
         |  cast(sum(CASE WHEN did % 10 IN (0, 1, 5) THEN 0

@@ -81,20 +81,21 @@ object BinaryDecode {
     * chars), payload, max_recs, truncated).
     *
     * Known bounds vs the reference's iterator (documented, not silent):
-    *  - ONE template definition is read per template flowset (tplId/fldCnt
-    *    at fixed o+4/o+6); the reference's parse_netflow_template loops over
-    *    multiple back-to-back templates in one flowset. A second template in
-    *    the same flowset is not registered (its bytes sit unread in the
-    *    flowset body). Iterating would nest a second dependent-offset walk
-    *    (next template offset depends on the previous field count) inside
-    *    the flowset walk — the ~5×-per-level expression growth squared.
+    *  - up to `maxTpls` template definitions are read per template flowset
+    *    (the reference's parse_netflow_template / parse_netflow_options_
+    *    template loop over back-to-back definitions, packet.rs:330-400;
+    *    here each definition is a dependent-offset slot — the next offset
+    *    depends on the previous field count — so the walk is expression-
+    *    bounded like the flowset walk; a flowset bundling more templates
+    *    than `maxTpls` loses the tail, sized generously vs real exporters
+    *    which bundle 1-2);
     *  - packets carrying more than `maxFlowsets` flowsets are truncated;
     *    every emitted row of such a packet has `truncated=true` so callers
     *    count the loss (p28-style stats) rather than mistake it for a full
     *    decode.
     */
   def netflowV9Recs(packets: org.apache.spark.sql.DataFrame,
-                    maxFlowsets: Int = 3): org.apache.spark.sql.DataFrame = {
+                    maxFlowsets: Int = 3, maxTpls: Int = 3): org.apache.spark.sql.DataFrame = {
     val p = col("packet")
     // flowset offsets: o1 = 21 (1-based); o_{i+1} = o_i + length_i
     val offsets = Iterator.iterate(lit(21L).cast("long"), maxFlowsets)(o =>
@@ -113,22 +114,53 @@ object BinaryDecode {
       .withColumn("o", col("fs.off").cast("int"))
     val fsId = beUintAt(p, col("o"), 2)
     val fsLen = beUintAt(p, col("o") + 2, 2)
-    val tplId = beUintAt(p, col("o") + 4, 2)
-    val fldCnt = beUintAt(p, col("o") + 6, 2)
-    // template flowset (id 0): field pairs at o+8, count from the header
-    // (packet.rs:330-355). Options template (id 1): scope/option byte
-    // lengths at o+6/o+8, pairs at o+10, combined like the reference's
-    // scope_fields ++ option_fields (packet.rs:357-400). Each pair is
-    // (type u16, byte-length u16); widths kept in hex chars (2× bytes).
+    // template-definition slots WITHIN a template flowset (the reference's
+    // back-to-back template loop, packet.rs:330-400). A regular template
+    // entry (flowset id 0) is tid(2) + field_count(2) + count·4 pair bytes;
+    // an options entry (id 1) is tid(2) + scope_len(2) + option_len(2) +
+    // (scope_len + option_len) pair bytes. Each next slot offset embeds the
+    // previous entry's length — bounded at maxTpls like the flowset walk.
+    val regSlots = Iterator.iterate((col("o") + 4).cast("long"), maxTpls)(t =>
+      t + 4 + beUintAt(p, (t + 2).cast("int"), 2) * 4).toSeq
+    val optSlots = Iterator.iterate((col("o") + 4).cast("long"), maxTpls)(t =>
+      t + 6 + beUintAt(p, (t + 2).cast("int"), 2) + beUintAt(p, (t + 4).cast("int"), 2)).toSeq
+    val slotStructs = (0 until maxTpls).map { k =>
+      // a slot is live when the WHOLE template entry fits inside the flowset
+      // body (the reference stops when fewer bytes remain); data flowsets
+      // pass through the single k=0 slot untouched
+      val regFits = regSlots(k) + 4 + beUintAt(p, (regSlots(k) + 2).cast("int"), 2) * 4 <=
+        col("o") + fsLen
+      val optFits = optSlots(k) + 6 + beUintAt(p, (optSlots(k) + 2).cast("int"), 2) +
+        beUintAt(p, (optSlots(k) + 4).cast("int"), 2) <= col("o") + fsLen
+      struct(
+        when(fsId === 0L, regSlots(k)).when(fsId === 1L, optSlots(k))
+          .otherwise(col("o") + 4).as("toff"),
+        (fsId === 0L && regFits || fsId === 1L && optFits ||
+          fsId > 1L && lit(k) === 0).as("tvalid"))
+    }
+    val withSlot = base
+      .withColumn("slot", explode(array(slotStructs: _*)))
+      .where(col("slot.tvalid"))
+      .withColumn("t", col("slot.toff").cast("int"))
+    val t = col("t")
+    val tplId = beUintAt(p, t, 2)
+    val fldCnt = beUintAt(p, t + 2, 2)
+    // regular template (flowset id 0): field pairs at t+4, count from the
+    // entry header (packet.rs:330-355). Options template (id 1): scope and
+    // option byte lengths at t+2/t+4, pairs at t+6, combined like the
+    // reference's scope_fields ++ option_fields (packet.rs:357-400). Each
+    // pair is (type u16, byte-length u16); widths kept in hex chars (2×
+    // bytes).
     def pairList(start: Column, n: Column, pick: Int): Column =
       transform(sequence(lit(0L), n - 1), j => pick match {
         case 0 => beUintAt(p, (start + j * 4).cast("int"), 2).cast("int")
         case _ => (beUintAt(p, (start + j * 4 + 2).cast("int"), 2) * 2).cast("int")
       })
-    val optPairs = (beUintAt(p, col("o") + 6, 2) + beUintAt(p, col("o") + 8, 2)) / 4
+    val scopeLen = beUintAt(p, t + 2, 2)
+    val optPairs = (scopeLen + beUintAt(p, t + 4, 2)) / 4
     def tplSel(pick: Int): Column =
-      when(fsId === 0L && fldCnt > 0, pairList(col("o") + 8, fldCnt, pick))
-        .when(fsId === 1L && optPairs > 0, pairList(col("o") + 10, optPairs.cast("long"), pick))
+      when(fsId === 0L && fldCnt > 0, pairList(t + 4, fldCnt, pick))
+        .when(fsId === 1L && optPairs > 0, pairList(t + 6, optPairs.cast("long"), pick))
         .otherwise(array().cast("array<int>"))
     // a further flowset header fits after the LAST walked offset → the walk
     // was cut short by maxFlowsets (per-packet flag, same value on each row)
@@ -138,16 +170,20 @@ object BinaryDecode {
     // ends exactly at the buffer's last byte is still a truncation
     val truncated = length(p) >= oLast + 3 &&
       length(p) >= oLast + beUintAt(p, (oLast + 2).cast("int"), 2) + 3
-    base
+    withSlot
       .withColumn("is_template", fsId <= 1L)
       .withColumn("template_id", when(fsId <= 1L, tplId).otherwise(fsId).cast("int"))
       .withColumn("field_types", tplSel(0))
       .withColumn("widths", tplSel(1))
+      // how many leading pairs are SCOPE fields (options templates render
+      // them with scope names + Ascii — packet.rs:484-497); 0 elsewhere
+      .withColumn("scope_cnt",
+        when(fsId === 1L, (scopeLen / 4).cast("int")).otherwise(lit(0)))
       .withColumn("payload",
         when(fsId <= 1L, lit("")).otherwise(lower(hex(p.substr(col("o") + 4, (fsLen - 4).cast("int"))))))
       .withColumn("truncated", truncated)
       .select("exporter", "template_id", "seq", "is_template", "widths",
-        "field_types", "payload", "max_recs", "truncated")
+        "field_types", "scope_cnt", "payload", "max_recs", "truncated")
   }
 
   /** Little-endian unsigned int at a dynamic 1-based offset (pcap headers
@@ -247,22 +283,59 @@ object BinaryDecode {
   //     enum, get_types kind mapping, TCP_FLAGS and FORWARDING_STATUS
   //     tables) ---
 
-  /** Common field-type codes → names (the reference's ~90-variant enum's
-    * frequently-seen subset, covering every rendered kind).
+  /** The reference's FULL FieldTypes enum (fields.rs:6-105), every variant:
+    * code → name. Codes outside the table render as "Unknown" (the enum's
+    * num_enum default).
     */
   val V9FieldNames: Map[Int, String] = Map(
     1 -> "InBytes", 2 -> "InPackets", 3 -> "Flows", 4 -> "Protocol",
     5 -> "SrcTos", 6 -> "TCPFlags", 7 -> "L4SrcPort", 8 -> "IPv4SrcAddr",
     9 -> "SrcMask", 10 -> "InputSNMP", 11 -> "L4DstPort", 12 -> "IPv4DstAddr",
     13 -> "DstMask", 14 -> "OutputSNMP", 15 -> "IPv4NextHop", 16 -> "SrcAS",
-    17 -> "DstAS", 18 -> "BgpIPv4NextHop", 21 -> "LastSwitched",
-    22 -> "FirstSwitched", 23 -> "OutBytes", 24 -> "OutPackets",
-    25 -> "MinPktLength", 26 -> "MaxPktLength", 32 -> "ICMPType",
-    44 -> "IPv4SrcPrefix", 45 -> "IPv4DstPrefix", 47 -> "MPLSTopLabelIPAddr",
-    61 -> "Direction", 89 -> "ForwardingStatus")
+    17 -> "DstAS", 18 -> "BgpIPv4NextHop", 19 -> "MulDstPackets",
+    20 -> "MulDstBytes", 21 -> "LastSwitched", 22 -> "FirstSwitched",
+    23 -> "OutBytes", 24 -> "OutPackets", 25 -> "MinPktLength",
+    26 -> "MaxPktLength", 27 -> "IPv6SrcAddr", 28 -> "IPv6DstAddr",
+    29 -> "IPv6SrcMask", 30 -> "IPv6DstMask", 31 -> "IPv6FlowLabel",
+    32 -> "ICMPType", 33 -> "MulIGMPType", 34 -> "SamplingInterval",
+    35 -> "SamplingAlgorithm", 36 -> "FlowActiveTimeout",
+    37 -> "FlowInactiveTimeout", 38 -> "EngineType", 39 -> "EngineID",
+    40 -> "TotalBytesExp", 41 -> "TotalPacketsExp", 42 -> "TotalFlowsExp",
+    44 -> "IPv4SrcPrefix", 45 -> "IPv4DstPrefix", 46 -> "MPLSTopLabelType",
+    47 -> "MPLSTopLabelIPAddr", 48 -> "FlowSamplerID", 49 -> "FlowSamplerMode",
+    50 -> "FlowSamplerRandomInterval", 52 -> "MinTTL", 53 -> "MaxTTL",
+    54 -> "IPv4Ident", 55 -> "DstTos", 56 -> "InSrcMac", 57 -> "OutDstMac",
+    58 -> "SrcVLAN", 59 -> "DstVLAN", 60 -> "IPProtocolVersion",
+    61 -> "Direction", 62 -> "IPv6NextHop", 63 -> "BgpIPv6NextHop",
+    64 -> "IPv6OptionHeaders", 70 -> "MPLSLabel1", 71 -> "MPLSLabel2",
+    72 -> "MPLSLabel3", 73 -> "MPLSLabel4", 74 -> "MPLSLabel5",
+    75 -> "MPLSLabel6", 76 -> "MPLSLabel7", 77 -> "MPLSLabel8",
+    78 -> "MPLSLabel9", 79 -> "MPLSLabel10", 80 -> "InDstMAC",
+    81 -> "OutSrcMAC", 82 -> "IfName", 83 -> "IfDesc", 84 -> "SamplerName",
+    85 -> "InPermanentBytes", 86 -> "InPermanentPackets",
+    88 -> "FragmentOffset", 89 -> "ForwardingStatus", 90 -> "MPLSPalRd",
+    91 -> "MPLSPrefixLen", 92 -> "SrcTrafficIndex", 93 -> "DstTrafficIndex",
+    94 -> "ApplicationDescription", 95 -> "ApplicationTag",
+    96 -> "ApplicationName", 98 -> "PostIPDiffServCodePoint",
+    99 -> "ReplicationFactor", 102 -> "Layer2PacketSectionOffset",
+    103 -> "Layer2PacketSectionData", 234 -> "IngressVRFID",
+    235 -> "EgressVRFID")
+
+  /** Options-template SCOPE field names (fields.rs OptionsScopeFieldTypes). */
+  val V9ScopeNames: Map[Int, String] = Map(
+    1 -> "System", 2 -> "Interface", 3 -> "LineCard", 4 -> "NetflowCache",
+    5 -> "Template")
 
   /** Codes rendered as dotted-quad IPv4 (get_types → DataTypes::Ipv4). */
   private val V9Ipv4Types: Seq[Int] = Seq(8, 12, 15, 18, 44, 45, 47)
+
+  /** Codes rendered as RFC-5952 IPv6 (get_types → DataTypes::Ipv6). */
+  private val V9Ipv6Types: Seq[Int] = Seq(27, 28, 62, 63)
+
+  /** Codes rendered as printable-prefix text (get_types → DataTypes::Text:
+    * IfDesc, SamplerName).
+    */
+  private val V9TextTypes: Seq[Int] = Seq(83, 84)
 
   /** TCP_FLAGS verbatim (fields.rs:180-189 — including the table's CWR
     * entry carrying mask 0x08).
@@ -291,22 +364,84 @@ object BinaryDecode {
   def v9TypeName(tpe: Column): Column =
     coalesce(element_at(typedLit(V9FieldNames), tpe), lit("Unknown"))
 
-  /** Set-bit flag names |-joined in table order (concat_ws skips the
-    * when-null of unset bits; 0 renders as "").
-    */
-  def v9TcpFlagsString(v: Column): Column =
-    concat_ws("|", V9TcpFlags.map { case (m, n) =>
-      when(v.bitwiseAND(lit(m)) =!= 0L, lit(n))
-    }: _*)
+  /** Scope-field code → name; unknown codes → "Unknown". */
+  def v9ScopeName(tpe: Column): Column =
+    coalesce(element_at(typedLit(V9ScopeNames), tpe), lit("Unknown"))
 
-  /** Type-aware value rendering: IPv4 codes → dotted quad, TCPFlags → flag
-    * names, ForwardingStatus → status text, everything else decimal (the
-    * reference's Integer fall-through).
+  /** Set-bit flag names '-'-joined in table order, "None" when no table
+    * flag is set — the reference's TcpFlags render verbatim
+    * (packet.rs:596-611: `b & mask == mask`, '-' separator, empty → None;
+    * the CWR entry shares PSH's 0x08 mask, so 0x08 renders "PSH-CWR", and
+    * 0x80 alone renders "None" — the table holds no 0x80 row).
     */
-  def v9Render(tpe: Column, v: Column): Column =
+  def v9TcpFlagsString(v: Column): Column = {
+    val joined = concat_ws("-", V9TcpFlags.map { case (m, n) =>
+      when(v.bitwiseAND(lit(m)) === lit(m), lit(n))
+    }: _*)
+    when(joined === "", lit("None")).otherwise(joined)
+  }
+
+  /** RFC-5952 IPv6 string from the field's 32 raw hex chars, matching
+    * Rust's Ipv6Addr Display (the reference's Ipv6 render,
+    * packet.rs:595,631-634): lowercase groups without leading zeros, the
+    * leftmost-longest run of ≥2 zero groups compressed to "::", and the
+    * IPv4-mapped form ::ffff:a.b.c.d special-cased.
+    */
+  def ipv6String(raw: Column): Column = {
+    val hexes = (0 until 8).map(i => lower(substring(raw, 1 + 4 * i, 4)))
+    val short = hexes.map(h => regexp_replace(h, "^0{1,3}", ""))
+    val zero = hexes.map(_ === "0000")
+    def allZero(s: Int, l: Int): Column =
+      (s until s + l).map(zero).reduce(_ && _)
+    def compressed(s: Int, l: Int): Column = {
+      val left = short.take(s)
+      val right = short.drop(s + l)
+      concat((left.flatMap(h => Seq(h, lit(":"))).dropRight(1) ++
+        Seq(lit("::")) ++
+        right.flatMap(h => Seq(h, lit(":"))).dropRight(1)): _*)
+    }
+    val full = concat(short.flatMap(h => Seq(h, lit(":"))).dropRight(1): _*)
+    // candidates ordered longest-first then leftmost — the first match is
+    // the RFC-5952 choice
+    val runs = for (l <- 8 to 2 by -1; s <- 0 to 8 - l) yield (s, l)
+    val mapped = allZero(0, 5) && hexes(5) === "ffff"
+    val v4 = ipv4String(conv(substring(raw, 25, 8), 16, 10).cast("long"))
+    runs.foldLeft(when(mapped, concat(lit("::ffff:"), v4))) {
+      case (acc, (s, l)) => acc.when(allZero(s, l), compressed(s, l))
+    }.otherwise(full)
+  }
+
+  /** Printable-prefix text render from the field's raw hex chars — the
+    * reference's Text kind verbatim (packet.rs:614-623): the bytes BEFORE
+    * the first non-printable (<0x20 or >0x7e) byte; a field with NO such
+    * terminator renders "-" (including the empty field).
+    */
+  def v9TextString(raw: Column): Column = {
+    val s = decode(unhex(raw), "UTF-8")
+    val prefix = regexp_extract(s, "^[ -~]*", 0)
+    when(prefix === s && length(s) * 2 === length(raw), lit("-")).otherwise(prefix)
+  }
+
+  /** Ascii render (options SCOPE fields — packet.rs:570-579): lowercase hex
+    * without padding for 1/2/4/8-byte fields, "0" for any other width.
+    */
+  def v9AsciiString(v: Column, raw: Column): Column =
+    when(length(raw).isin(2, 4, 8, 16), lower(hex(v))).otherwise(lit("0"))
+
+  /** Type-aware value rendering (parse_data, packet.rs:568-625): IPv4 codes
+    * → dotted quad, IPv6 codes → RFC-5952, TCPFlags → '-'-joined names,
+    * ForwardingStatus → status text (unknown status → decimal), Text codes
+    * → printable prefix, everything else the Integer render — decimal for
+    * 1/2/4/8-byte fields, "0" for odd widths. `raw` is the field's hex
+    * chars from the stateful decode; `v` its u64 value.
+    */
+  def v9Render(tpe: Column, v: Column, raw: Column): Column =
     when(tpe.isin(V9Ipv4Types: _*), ipv4String(v))
+      .when(tpe.isin(V9Ipv6Types: _*), ipv6String(raw))
       .when(tpe === 6, v9TcpFlagsString(v))
       .when(tpe === 89,
-        coalesce(element_at(typedLit(V9FwdStatus), v), concat(lit("status-"), v)))
-      .otherwise(v.cast("string"))
+        coalesce(element_at(typedLit(V9FwdStatus), v), v.cast("string")))
+      .when(tpe.isin(V9TextTypes: _*), v9TextString(raw))
+      .otherwise(when(length(raw).isin(2, 4, 8, 16), v.cast("string"))
+        .otherwise(lit("0")))
 }

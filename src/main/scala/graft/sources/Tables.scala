@@ -337,20 +337,27 @@ object Tables {
       hexN(lit(9L), 4), hexN(hc, 4),
       hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
       hexN(seq, 8), hexN(exporter, 8))
-    // template flowset: id 0, len 4+4+4*4=24, template_id, field_count=4,
-    // (type, byte-len) pairs
-    val tplFs = concat(hexN(lit(0L), 4), hexN(lit(24L), 4),
-      hexN(tid, 4), hexN(lit(4L), 4),
+    // template flowset: id 0, len 4 + 2·20 = 44 — TWO back-to-back template
+    // entries in ONE flowset (the reference's parse_netflow_template loop,
+    // packet.rs:330-355): the group's primary template `tid` and a
+    // secondary `tid+200`, each tid(2) + field_count=4(2) + 4 (type,
+    // byte-len) pairs. did%10==3 data references the SECONDARY — it only
+    // decodes if the second entry registered.
+    def tplEntry(id: Column): Column = concat(
+      hexN(id, 4), hexN(lit(4L), 4),
       hexN(lit(8L), 4), hexN(lit(4L), 4),    // IPv4SrcAddr, 4 bytes
       hexN(lit(7L), 4), hexN(lit(2L), 4),    // L4SrcPort, 2
       hexN(lit(11L), 4), hexN(lit(2L), 4),   // L4DstPort, 2
       hexN(lit(1L), 4), hexN(lit(4L), 4))    // InBytes, 4
+    val tplFs = concat(hexN(lit(0L), 4), hexN(lit(44L), 4),
+      tplEntry(tid), tplEntry(tid + 200L))
     def rec(j: Int): Column = when(lit(j) < rc, concat(
       hexN((did % 1000003L * 2654435761L + j * 7919L) % 4294967296L, 8),
       hexN(lit(1024L) + (did + j) % 60000L, 4),
       hexN(lit(443L), 4),
       hexN((did + j) % 4294967296L, 8))).otherwise(lit(""))
-    val dataId = when(isOrphan, tid + 101L).otherwise(tid)
+    val dataId = when(isOrphan, tid + 101L)
+      .when(did % 10 === 3, tid + 200L).otherwise(tid)
     val dataFs = concat(hexN(dataId, 4), hexN(lit(4L) + rc * 12L, 4), rec(0), rec(1))
     val pkt = concat(header, when(isTpl, tplFs).otherwise(dataFs))
     documents(spark, dir).select(
@@ -375,13 +382,21 @@ object Tables {
       // exporter = g, same reasoning as nfV9Packets: a narrower modulus
       // would alias (exporter, tid) across groups at lcm(1024, 50) groups
       hexN(did + 10L, 8), hexN(g % 4294967296L, 8))
-    // options template flowset: id 1, len 18 = 4 + tid(2) + scopeLen(2) +
-    // optLen(2) + scope pair(4) + option pair(4)
-    val tplFs = concat(hexN(lit(1L), 4), hexN(lit(18L), 4),
-      hexN(tid, 4), hexN(lit(4L), 4), hexN(lit(4L), 4),
+    // options template flowset: id 1, len 32 = 4 + 2·14 — TWO back-to-back
+    // options-template entries (the reference's options loop,
+    // packet.rs:357-400): the group's primary `tid` and a secondary
+    // `tidB = 600+g%50`, each tid(2) + scopeLen=4(2) + optLen=4(2) + scope
+    // pair System/2B + option pair InBytes/4B. Half the data packets
+    // (did%4==3) reference the secondary.
+    val tidB = lit(600L) + g % 50L
+    def optEntry(id: Column): Column = concat(
+      hexN(id, 4), hexN(lit(4L), 4), hexN(lit(4L), 4),
       hexN(lit(1L), 4), hexN(lit(2L), 4),    // scope: System, 2 bytes
       hexN(lit(1L), 4), hexN(lit(4L), 4))    // option: InBytes, 4 bytes
-    val dataFs = concat(hexN(tid, 4), hexN(lit(10L), 4),
+    val tplFs = concat(hexN(lit(1L), 4), hexN(lit(32L), 4),
+      optEntry(tid), optEntry(tidB))
+    val dataId = when(did % 4 === 3, tidB).otherwise(tid)
+    val dataFs = concat(hexN(dataId, 4), hexN(lit(10L), 4),
       hexN((did * 3) % 65536L, 4),
       hexN(did % 1000003L * 2654435761L % 4294967296L, 8))
     val pkt = concat(header, when(did % 2 === 0, tplFs).otherwise(dataFs))
@@ -407,16 +422,32 @@ object Tables {
       hexN(lit(9L), 4), hexN(lit(1L), 4),
       hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
       hexN(did + 10L, 8), hexN(g % 4294967296L, 8))
+    // the 16 (type, byte-len) pairs span EVERY render class of the
+    // reference's parse_data (fields.rs get_types): Ipv4, Ipv6 (16-byte
+    // field — exceeds u64, rendered from raw hex), TcpFlags, Integer in
+    // every width incl. an odd 3-byte one ("0" render), Text (IfDesc with a
+    // NUL terminator, SamplerName fully printable → "-"), ForwardingStatus
+    // incl. an unknown status (decimal render), an unknown type code 999
+    // ("Unknown" name), and a long-tail name (SrcVLAN)
     val pairs = Seq(8 -> 4, 12 -> 4, 7 -> 2, 11 -> 2, 4 -> 1, 6 -> 1,
-      1 -> 4, 2 -> 4, 5 -> 1, 23 -> 4, 89 -> 1) // Σ bytes = 28
+      1 -> 4, 2 -> 4, 5 -> 1, 23 -> 4, 89 -> 1,
+      27 -> 16, 83 -> 6, 84 -> 4, 999 -> 3, 58 -> 2) // Σ bytes = 59
     val tplFs = concat(
       (Seq(hexN(lit(0L), 4), hexN(lit(8L + pairs.length * 4L), 4),
         hexN(tid, 4), hexN(lit(pairs.length.toLong), 4)) ++
         pairs.flatMap { case (t, w) =>
           Seq(hexN(lit(t.toLong), 4), hexN(lit(w.toLong), 4))
         }): _*)
-    val fwd = when(did % 4 === 0, 0L).when(did % 4 === 1, 64L)
-      .when(did % 4 === 2, 65L).otherwise(66L)
+    val fwd = when(did % 5 === 0, 0L).when(did % 5 === 1, 64L)
+      .when(did % 5 === 2, 65L).when(did % 5 === 3, 66L).otherwise(77L)
+    // IPv6 value patterns by did%3, exercising RFC-5952: all-nonzero
+    // groups (no compression), a middle 4-group zero run ("a:b::c:d"),
+    // and 7 leading zero groups ("::x")
+    def grp(i: Int): Column = (did * (i + 2)) % 64999L + 1L
+    val ip6 = when(did % 3 === 0, concat((1 to 8).map(i => hexN(grp(i), 4)): _*))
+      .when(did % 3 === 1, concat(hexN(grp(1), 4), hexN(grp(2), 4),
+        lit("0000" * 4), hexN(grp(7), 4), hexN(grp(8), 4)))
+      .otherwise(concat(lit("0000" * 7), hexN(grp(8), 4)))
     val recBytes = concat(
       hexN(did % 1000003L * 2654435761L % 4294967296L, 8), // IPv4SrcAddr
       hexN((did * 7919L + 5L) % 4294967296L, 8),  // IPv4DstAddr
@@ -428,8 +459,13 @@ object Tables {
       hexN(did % 1000L, 8),                       // InPackets
       hexN((did * 3L) % 256L, 2),                 // SrcTos
       hexN((did * 11L) % 4294967296L, 8),         // OutBytes
-      hexN(fwd, 2))                               // ForwardingStatus
-    val dataFs = concat(hexN(tid, 4), hexN(lit(32L), 4), recBytes)
+      hexN(fwd, 2),                               // ForwardingStatus
+      ip6,                                        // IPv6SrcAddr
+      concat(lit("657468"), hexN(lit(0x30L) + did % 10L, 2), lit("0041")), // IfDesc "eth<d>\0A"
+      lit("73616d70"),                            // SamplerName "samp" (all printable → "-")
+      hexN(did % 16777216L, 6),                   // unknown type 999, odd width
+      hexN(did % 4096L, 4))                       // SrcVLAN
+    val dataFs = concat(hexN(tid, 4), hexN(lit(63L), 4), recBytes)
     val pkt = concat(header, when(did % 2 === 0, tplFs).otherwise(dataFs))
     documents(spark, dir).select(
       concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),

@@ -30,19 +30,28 @@ object Templates {
     */
   final case class NfRec(exporter: String, templateId: Int, seq: Long,
                          isTemplate: Boolean, widths: Seq[Int], payload: String,
-                         maxRecs: Int = Int.MaxValue, types: Seq[Int] = Seq.empty)
+                         maxRecs: Int = Int.MaxValue, types: Seq[Int] = Seq.empty,
+                         scopeCnt: Int = 0)
 
   /** `types` carries the template's wire field-type codes alongside each
     * decoded value — the reference stores (type, length) pairs per template
-    * and renders values type-aware (fields.rs get_types).
+    * and renders values type-aware (fields.rs get_types). `raws` carries
+    * each field's raw hex chars (IPv6/Text/odd-width renders need the bytes,
+    * and a 16-byte field doesn't fit the u64 in `fields`); `scopeCnt` is the
+    * options-template scope-field count (the first scopeCnt fields render
+    * with scope names + Ascii — packet.rs:484-497).
     */
   final case class NfDecoded(exporter: String, templateId: Int, seq: Long,
                              recIdx: Int, decoded: Boolean, fields: Seq[Long],
-                             types: Seq[Int] = Seq.empty)
+                             types: Seq[Int] = Seq.empty,
+                             raws: Seq[String] = Seq.empty, scopeCnt: Int = 0)
 
-  /** State: latest widths + field types per template id for this exporter. */
+  /** State: latest widths + field types + scope count per template id for
+    * this exporter.
+    */
   final case class TplState(widths: Map[Int, Seq[Int]],
-                            types: Map[Int, Seq[Int]] = Map.empty)
+                            types: Map[Int, Seq[Int]] = Map.empty,
+                            scopes: Map[Int, Int] = Map.empty)
 
   /** Decode every record packed in the flowset payload: records of
     * Σwidths hex chars, while payload remains and the header count allows —
@@ -50,7 +59,7 @@ object Templates {
     * undecoded marker row (counted-and-skipped semantics).
     */
   private def decodeRecords(rec: NfRec, widths: Option[Seq[Int]],
-                            ts: Seq[Int]): Seq[NfDecoded] =
+                            ts: Seq[Int], scopeCnt: Int): Seq[NfDecoded] =
     widths match {
       case Some(ws) if ws.nonEmpty =>
         val recLen = ws.sum
@@ -59,13 +68,19 @@ object Templates {
           var off = r * recLen
           // parseUnsignedLong: an 8-byte field (16 hex chars) with the high
           // bit set is legal NetFlow v9 (64-bit counters) — signed parseLong
-          // would throw and kill the task instead of decoding
-          val fields = ws.map { w =>
-            val v = java.lang.Long.parseUnsignedLong(rec.payload.substring(off, off + w), 16)
+          // would throw and kill the task instead of decoding. Fields wider
+          // than 8 bytes (IPv6 addrs, MACs-with-VLAN, text) don't fit a u64:
+          // their value is 0 and consumers render from the raw hex.
+          val raws = ws.map { w =>
+            val raw = rec.payload.substring(off, off + w)
             off += w
-            v
+            raw
           }
-          NfDecoded(rec.exporter, rec.templateId, rec.seq, r, decoded = true, fields, ts)
+          val fields = raws.map { raw =>
+            if (raw.length <= 16) java.lang.Long.parseUnsignedLong(raw, 16) else 0L
+          }
+          NfDecoded(rec.exporter, rec.templateId, rec.seq, r, decoded = true,
+            fields, ts, raws, scopeCnt)
         }
       case _ =>
         Seq(NfDecoded(rec.exporter, rec.templateId, rec.seq, 0, decoded = false, Seq.empty))
@@ -88,9 +103,11 @@ object Templates {
     sorted.foreach { r =>
       if (r.isTemplate)
         st = TplState(st.widths + (r.templateId -> r.widths),
-          st.types + (r.templateId -> r.types))
+          st.types + (r.templateId -> r.types),
+          st.scopes + (r.templateId -> r.scopeCnt))
       else out ++= decodeRecords(r, st.widths.get(r.templateId),
-        st.types.getOrElse(r.templateId, Seq.empty))
+        st.types.getOrElse(r.templateId, Seq.empty),
+        st.scopes.getOrElse(r.templateId, 0))
     }
     (out.result(), st)
   }
@@ -136,10 +153,12 @@ object Templates {
           if (r.exporter != cur) { cur = r.exporter; st = TplState(Map.empty) }
           if (r.isTemplate) {
             st = TplState(st.widths + (r.templateId -> r.widths),
-              st.types + (r.templateId -> r.types))
+              st.types + (r.templateId -> r.types),
+              st.scopes + (r.templateId -> r.scopeCnt))
             Iterator.empty
           } else decodeRecords(r, st.widths.get(r.templateId),
-            st.types.getOrElse(r.templateId, Seq.empty)).iterator
+            st.types.getOrElse(r.templateId, Seq.empty),
+            st.scopes.getOrElse(r.templateId, 0)).iterator
         }
       }
   }

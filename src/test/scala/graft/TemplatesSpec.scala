@@ -87,7 +87,8 @@ class TemplatesSpec extends SparkSpec {
     val recs = graft.operators.BinaryDecode.netflowV9Recs(packets)
       .select(col("exporter"), col("template_id").as("templateId"), col("seq"),
         col("is_template").as("isTemplate"), col("widths"), col("payload"),
-        col("max_recs").as("maxRecs"), col("field_types").as("types"))
+        col("max_recs").as("maxRecs"), col("field_types").as("types"),
+        col("scope_cnt").as("scopeCnt"))
       .as[NfRec]
     val out = Templates.decodeBatch(recs).collect()
       .map(d => (d.seq, d.recIdx) -> (d.decoded, d.templateId, d.fields.toList)).toMap
@@ -111,7 +112,8 @@ class TemplatesSpec extends SparkSpec {
     val recs = graft.operators.BinaryDecode.netflowV9Recs(packets)
       .select(col("exporter"), col("template_id").as("templateId"), col("seq"),
         col("is_template").as("isTemplate"), col("widths"), col("payload"),
-        col("max_recs").as("maxRecs"), col("field_types").as("types"))
+        col("max_recs").as("maxRecs"), col("field_types").as("types"),
+        col("scope_cnt").as("scopeCnt"))
       .as[NfRec]
     val out = Templates.decodeBatch(recs).collect()
       .map(d => d.seq -> (d.decoded, d.fields.toList)).toMap

@@ -120,6 +120,32 @@ class TemplatesSpec extends SparkSpec {
     assert(out(2L) === (true, List(0xaaL, 1000000L)))
   }
 
+  test("persisted template state survives batch runs (NETFLOW_TEMPLATES_PATH analog)") {
+    import graft.streaming.TemplateStore
+    val base = java.nio.file.Files.createTempDirectory("graft-tplstore").toString
+    // run 1: template + data — data decodes, state saved
+    val run1 = Seq(tpl("e1", 256, 10, Seq(4, 4)), dat("e1", 256, 11, "00ff0010"))
+    val out1 = TemplateStore.decodeBatchResumable(spark.createDataset(run1), base)
+      .collect().map(d => d.seq -> (d.decoded, d.fields.toList)).toMap
+    assert(out1(11L) === (true, List(255L, 16L)))
+    // run 2: DATA ONLY — cold decode would fail; the warm state decodes it
+    val run2 = Seq(dat("e1", 256, 20, "00aa00bb"), dat("e2", 256, 21, "dead"))
+    val out2 = TemplateStore.decodeBatchResumable(spark.createDataset(run2), base)
+      .collect().map(d => d.seq -> (d.decoded, d.fields.toList)).toMap
+    assert(out2(20L) === (true, List(0xaaL, 0xbbL)),
+      "run 2 must decode with run 1's dictionary")
+    assert(out2(21L) === (false, Nil), "unknown exporter still cold")
+    // run 3: redefinition — supersedes the stored widths, and the state file
+    // keeps ONE row per (exporter, template): the latest
+    val run3 = Seq(tpl("e1", 256, 30, Seq(8)), dat("e1", 256, 31, "000000ff"))
+    val out3 = TemplateStore.decodeBatchResumable(spark.createDataset(run3), base)
+      .collect().map(d => d.seq -> (d.decoded, d.fields.toList)).toMap
+    assert(out3(31L) === (true, List(255L)))
+    val st = TemplateStore.load(spark, base).collect()
+    assert(st.length === 1 && st.head.widths === Seq(8),
+      s"state must hold the latest definition only, got ${st.toList}")
+  }
+
   test("streaming: template from batch 1 decodes data arriving in batch 2 (state persists)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[NfRec]

@@ -59,19 +59,38 @@ object Packing {
 
   /** Pack into sequences of exactly `seqLen` tokens (last partial sequence
     * dropped, as training pipelines do). Output: (seq_id, tokens, n_docs).
+    *
+    * The cut shuffles BOUNDARY FRAGMENTS, not tokens: each doc covers
+    * ≤ n_tok/seqLen + 1 sequences, and emits one (seq_id, in-seq position,
+    * token-array slice) row per covered sequence. The exchange carries
+    * O(docs + boundary fragments) rows whose payload is exactly the corpus
+    * bytes — no per-token row overhead (an earlier explode→groupBy form
+    * shuffled one 20-30-byte row PER TOKEN, several× corpus size at scale).
+    * Each output group re-assembles ≤ seqLen tokens from its few fragments.
     */
   def pack(docs: DataFrame, seqLen: Int, parts: Int = 0): DataFrame = {
+    val L = seqLen.toLong
     val withOff = withGlobalOffsets(docs.select("doc_id", "tokens", "n_tok"), parts)
-    val exploded = withOff
-      .select(col("doc_id"), col("tok_offset"), posexplode(col("tokens")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), (col("tok_offset") + col("pos")).as("gpos"), col("tok"))
-    exploded
-      .withColumn("seq_id", floor(col("gpos") / seqLen).cast("long"))
+    val frags = withOff
+      .where(col("n_tok") > 0)
+      .select(col("doc_id"), col("tok_offset"), col("tokens"), col("n_tok"),
+        explode(sequence(floor(col("tok_offset") / L).cast("long"),
+          floor((col("tok_offset") + col("n_tok") - 1) / L).cast("long"))).as("seq_id"))
+      // local slice [lo, hi) of this doc's tokens that lands in seq_id, and
+      // the position within the sequence where the slice starts
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("tok_offset") - col("seq_id") * L, lit(0L)).as("start_pos"),
+        slice(col("tokens"),
+          (greatest(col("seq_id") * L - col("tok_offset"), lit(0L)) + 1).cast("int"),
+          (least(col("n_tok").cast("long"), (col("seq_id") + 1) * L - col("tok_offset")) -
+            greatest(col("seq_id") * L - col("tok_offset"), lit(0L))).cast("int")).as("frag"))
+    frags
       .groupBy("seq_id")
       .agg(
-        transform(array_sort(collect_list(struct(col("gpos"), col("tok")))), s => s("tok")).as("tokens"),
+        flatten(transform(array_sort(collect_list(struct(col("start_pos"), col("frag")))),
+          s => s("frag"))).as("tokens"),
         countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_tok"))
+        sum(size(col("frag"))).as("n_tok"))
       .where(col("n_tok") === seqLen) // drop the trailing partial sequence
       .drop("n_tok")
   }

@@ -90,6 +90,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("k01 packing shuffles boundary fragments, not per-token rows") {
+    val q = SparkEntry.queries("k01_pack")(spark, Sf)
+    val plan = q.queryExecution.optimizedPlan.toString
+    // the cut must slice token ARRAYS per covered sequence (O(docs +
+    // fragments) exchange rows); a posexplode of the token column would
+    // put one row per token through the shuffle — several× corpus size
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"per-token explode leaked back into the packing plan:\n$plan")
+    assert(plan.contains("slice("), s"expected array-slice fragments:\n$plan")
+  }
+
   test("k10 token-budget selection has no window over corpus-sized input") {
     val q = SparkEntry.queries("k10_token_budget")(spark, Sf)
     val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }

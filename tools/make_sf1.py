@@ -14,6 +14,13 @@ lineitem's three FKs with their parents). region/nation stay 1x (fixed
 dimensions, as in TPC-H). Embedding copies get a per-copy deterministic
 perturbation of one coordinate so no two vectors are bit-identical (exact
 cosine ties across copies would otherwise make top-k order engine-dependent).
+Document copies get a per-copy printable-character rotation: verbatim copies
+would be shingle-identical, every cross-copy pair becomes an LSH candidate,
+and the candidate set grows quadratically in the copy count (measured: 113x
+pairs for a 10x corpus — the DuckDB-side jaccard oracle then joins billions
+of shingle rows). Rotation keeps each copy's INTERNAL duplicate structure
+(identical texts rotate identically) while making copies disjoint in
+shingle space, so candidates grow ~linearly like a real corpus.
 """
 import duckdb, os, sys
 
@@ -49,9 +56,22 @@ dim = con.execute(
 for t, shifts in SHIFTS.items():
     cols = [c[0] for c in con.execute(
         f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()]
+
+    def rot_alphabet(shift):
+        chars = [chr(c) for c in range(32, 127)]
+        to = [chr(((c - 32 + shift) % 95) + 32) for c in range(32, 127)]
+        esc = lambda s: s.replace("'", "''")
+        return esc("".join(chars)), esc("".join(to))
+
     sel = []
     for c in cols:
-        if t == "events" and c == "user_id":
+        if t == "documents" and c == "text":
+            branches = " ".join(
+                f"WHEN {i} THEN translate(text, '{f}', '{to}')"
+                for i in range(1, COPIES)
+                for f, to in [rot_alphabet((i * 7) % 95)])
+            sel.append(f"CASE i {branches} ELSE text END AS text")
+        elif t == "events" and c == "user_id":
             sel.append(f"user_id + i * {max_user} AS user_id")
         elif t == "embeddings" and c == "embedding":
             # perturb coordinate (i % dim) by i/1000 in copy i; copy 0 intact

@@ -506,17 +506,22 @@ object QueriesOps {
     "d03_lsh_pairs" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
       "SELECT doc_a, doc_b FROM spairs"),
 
+    // intersection via list_intersect over the two docs' (distinct) shingle
+    // lists: O(pairs) work — an unnest-join twin materialized pair×shingle
+    // rows, which at a 10× corpus (594k candidate pairs) exploded past 80 GB
+    // in the oracle engine. Same result set: only pairs with inter ≥ 1
+    // appear (the join twin's inner join dropped inter=0 pairs).
     "d04_lsh_jaccard" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
-      """SELECT i.doc_a, i.doc_b, i.inter, x.sz AS sz_a, y.sz AS sz_b,
-        |  (i.inter * 1000000) // (x.sz + y.sz - i.inter) AS jac_e6
+      """SELECT doc_a, doc_b, inter, sz_a, sz_b,
+        |  (inter * 1000000) // (sz_a + sz_b - inter) AS jac_e6
         |FROM (
-        |  SELECT p.doc_a, p.doc_b, count(*) AS inter
+        |  SELECT p.doc_a, p.doc_b,
+        |    len(list_intersect(x.stoks, y.stoks)) AS inter,
+        |    len(x.stoks) AS sz_a, len(y.stoks) AS sz_b
         |  FROM spairs p
-        |  JOIN (SELECT sid, unnest(stoks) AS tok FROM shingd) a ON a.sid = p.doc_a
-        |  JOIN (SELECT sid, unnest(stoks) AS tok FROM shingd) b ON b.sid = p.doc_b AND b.tok = a.tok
-        |  GROUP BY 1, 2) i
-        |JOIN (SELECT sid, count(*) AS sz FROM (SELECT sid, unnest(stoks) FROM shingd) GROUP BY 1) x ON i.doc_a = x.sid
-        |JOIN (SELECT sid, count(*) AS sz FROM (SELECT sid, unnest(stoks) FROM shingd) GROUP BY 1) y ON i.doc_b = y.sid""".stripMargin),
+        |  JOIN shingd x ON x.sid = p.doc_a
+        |  JOIN shingd y ON y.sid = p.doc_b)
+        |WHERE inter > 0""".stripMargin),
 
     // transitive closure via recursive CTE: every label reachable over the
     // symmetric edge set; min per node = its component representative

@@ -64,13 +64,22 @@ for t, shifts in SHIFTS.items():
         return esc("".join(chars)), esc("".join(to))
 
     sel = []
+    # docs too short to shingle (length < 8) have EMPTY shingle sets; if
+    # their band keys coincide they form one giant LSH clique across all
+    # copies, and the oracle's recursive transitive closure over that
+    # clique is O(n^3) in the clique size. Pad them with their (unique)
+    # doc_id so every short doc has unique shingles — no degenerate clique,
+    # in any copy. n_chars is recomputed to stay consistent with the text.
+    pad = "CASE WHEN length(text) < 8 THEN text || '#' || cast(doc_id + i * 5000 AS varchar) ELSE text END"
     for c in cols:
         if t == "documents" and c == "text":
             branches = " ".join(
-                f"WHEN {i} THEN translate(text, '{f}', '{to}')"
+                f"WHEN {i} THEN translate({pad}, '{f}', '{to}')"
                 for i in range(1, COPIES)
                 for f, to in [rot_alphabet((i * 7) % 95)])
-            sel.append(f"CASE i {branches} ELSE text END AS text")
+            sel.append(f"CASE i {branches} ELSE {pad} END AS text")
+        elif t == "documents" and c == "n_chars":
+            sel.append(f"cast(length({pad}) AS bigint) AS n_chars")
         elif t == "events" and c == "user_id":
             sel.append(f"user_id + i * {max_user} AS user_id")
         elif t == "embeddings" and c == "embedding":

@@ -523,19 +523,39 @@ object QueriesOps {
         |  JOIN shingd y ON y.sid = p.doc_b)
         |WHERE inter > 0""".stripMargin),
 
-    // transitive closure via recursive CTE: every label reachable over the
-    // symmetric edge set; min per node = its component representative
+    // transitive closure via recursive CTE — over the GROUP graph, not the
+    // doc graph: docs sharing an identical 16-minhash signature are
+    // automatically a pairwise LSH clique (equal signatures ⇒ equal band
+    // keys), so the closure first collapses each signature-identical group
+    // to its min-sid and walks reachability over distinct group edges only.
+    // The corpus's ~500-doc near-dup families made the naive doc-level
+    // closure O(clique³) in the oracle engine (≥20 min at a 10× corpus);
+    // the group graph stays tiny at any scale. cluster(sid) = min reachable
+    // group id = component min sid, identical to the doc-level closure.
     "d09_dup_clusters" -> ("WITH RECURSIVE " +
       Seq(ShingCte, SigCte, BandsCte, PairsCte).mkString(",\n") +
       """,
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM spairs
-        |  UNION ALL SELECT doc_b, doc_a FROM spairs),
-        |reach(sid, l) AS (
-        |  SELECT src, src FROM edges
+        |nodes AS (SELECT DISTINCT sid FROM (
+        |  SELECT doc_a AS sid FROM spairs UNION ALL SELECT doc_b FROM spairs)),
+        |sgrp AS (
+        |  SELECT s.sid, min(s.sid) OVER (
+        |    PARTITION BY m0, m1, m2, m3, m4, m5, m6, m7,
+        |                 m8, m9, m10, m11, m12, m13, m14, m15) AS gid
+        |  FROM ssig s JOIN nodes n ON n.sid = s.sid),
+        |gedges AS (
+        |  SELECT DISTINCT ga.gid AS src, gb.gid AS dst
+        |  FROM spairs p
+        |  JOIN sgrp ga ON ga.sid = p.doc_a
+        |  JOIN sgrp gb ON gb.sid = p.doc_b
+        |  WHERE ga.gid <> gb.gid),
+        |gboth AS (SELECT src, dst FROM gedges
+        |  UNION ALL SELECT dst, src FROM gedges),
+        |greach(gid, l) AS (
+        |  SELECT gid, gid FROM (SELECT DISTINCT gid FROM sgrp)
         |  UNION
-        |  SELECT e.dst, reach.l FROM reach JOIN edges e ON e.src = reach.sid)
-        |SELECT sid, min(l) AS cluster FROM reach GROUP BY sid""".stripMargin),
+        |  SELECT e.dst, greach.l FROM greach JOIN gboth e ON e.src = greach.gid)
+        |SELECT s.sid, min(r.l) AS cluster
+        |FROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid""".stripMargin),
 
     "d05_simhash" -> withCtes(ToksCte)({
       val sums = (0 until 16).map(b =>

@@ -200,31 +200,45 @@ object BinaryDecode {
     * every prior offset expression (~5× tree growth per level), capping
     * captures at a handful of packets — real captures hold millions per
     * file. FILES parallelize across the cluster; within a file the wire
-    * format itself forbids random access. Validates the little-endian
-    * global header (magic a1b2c3d4, linktype 1 = Ethernet only —
-    * netflow.rs:59). Output: one row per captured packet:
-    * (path, cap_sec, data bytes).
+    * format itself forbids random access. Accepts all four classic pcap
+    * magics the reference's pcap library (libpcap) accepts — microsecond
+    * a1b2c3d4 and nanosecond a1b23c4d, each in either byte order (the
+    * writer's endianness flips every header field) — and requires
+    * linktype 1 = Ethernet (netflow.rs:59). Output: one row per captured
+    * packet: (path, cap_sec, data bytes).
     */
   def pcapPackets(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import files.sparkSession.implicits._
     files.select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (path, c) =>
-        def le4(o: Int): Long = (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8) |
-          ((c(o + 2) & 0xffL) << 16) | ((c(o + 3) & 0xffL) << 24)
-        val ok = c.length >= 24 &&
-          (c(0) & 0xff) == 0xd4 && (c(1) & 0xff) == 0xc3 &&
-          (c(2) & 0xff) == 0xb2 && (c(3) & 0xff) == 0xa1 &&
-          le4(20) == 1L
-        if (!ok) Iterator.empty
-        else new Iterator[(String, Long, Array[Byte])] {
-          private var o = 24
-          def hasNext: Boolean = o + 16 <= c.length
-          def next(): (String, Long, Array[Byte]) = {
-            val capSec = le4(o)
-            val incl = le4(o + 8).toInt
-            val data = c.slice(o + 16, math.min(o + 16 + incl.max(0), c.length))
-            o += 16 + incl.max(0)
-            (path, capSec, data)
+        def u4(o: Int, le: Boolean): Long =
+          if (le) (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8) |
+            ((c(o + 2) & 0xffL) << 16) | ((c(o + 3) & 0xffL) << 24)
+          else ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
+            ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
+        // magic → file byte order (sub-second resolution µs vs ns does not
+        // matter here: only ts_sec is consumed)
+        val leOpt =
+          if (c.length < 24) None
+          else u4(0, le = true) match {
+            case 0xa1b2c3d4L | 0xa1b23c4dL => Some(true)   // written LE
+            case _ => u4(0, le = false) match {
+              case 0xa1b2c3d4L | 0xa1b23c4dL => Some(false) // written BE
+              case _ => None
+            }
+          }
+        leOpt.filter(le => u4(20, le) == 1L) match {
+          case None => Iterator.empty
+          case Some(le) => new Iterator[(String, Long, Array[Byte])] {
+            private var o = 24
+            def hasNext: Boolean = o + 16 <= c.length
+            def next(): (String, Long, Array[Byte]) = {
+              val capSec = u4(o, le)
+              val incl = u4(o + 8, le).toInt
+              val data = c.slice(o + 16, math.min(o + 16 + incl.max(0), c.length))
+              o += 16 + incl.max(0)
+              (path, capSec, data)
+            }
           }
         }
       }.toDF("path", "cap_sec", "data")

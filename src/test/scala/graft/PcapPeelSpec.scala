@@ -62,6 +62,25 @@ class PcapPeelSpec extends SparkSpec {
     assert(out === Seq.fill(4)("deadbeef"))
   }
 
+  test("big-endian and nanosecond-magic captures read identically (all four libpcap magics)") {
+    def be4(v: Int): String = f"$v%08x"
+    def file(magicHex: String, be: Boolean): Array[Byte] = {
+      val pkt = EthPlain + ipv4(5, 12) + udpAndPayload(2055)
+      val n = pkt.length / 2
+      def w(v: Int): String =
+        if (be) be4(v)
+        else f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+      val hdr = magicHex + (if (be) "00020004" else "02000400") +
+        w(0) + w(0) + w(65535) + w(1)
+      (hdr + w(100) + w(0) + w(n) + w(n) + pkt).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    assert(peel(file("a1b2c3d4", be = true)) === Seq("deadbeef"))   // BE µs
+    assert(peel(file("4d3cb2a1", be = false)) === Seq("deadbeef"))  // LE ns
+    assert(peel(file("a1b23c4d", be = true)) === Seq("deadbeef"))   // BE ns
+    assert(peel(file("0a0d0d0a", be = false)) === Seq())            // pcapng → skip
+  }
+
   test("non-cflow ports, non-IPv4 ethertypes, and non-UDP protocols are dropped") {
     val tcp = EthPlain + ("45" + "00" + "0028" + "1234" + "0000" + "40" + "06" +
       "0000" + "0a000001" + "0a000002") + udpAndPayload(2055)

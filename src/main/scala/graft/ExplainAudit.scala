@@ -14,7 +14,9 @@ object ExplainAudit {
       else Seq("p14_pipeline", "q05_broadcast", "d03_lsh_pairs", "p06_parse_zeek",
         "e02_top_purchasers", "a04_ann_sketch", "g02_dns", "p27_netflow_v9",
         "d10_decontaminate", "d12_repeat_substr", "t09_curation_gate",
-        "i03_kmeans", "q08_asof_enrich", "q09_range_enrich", "s02_countmin")
+        "i03_kmeans", "q08_asof_enrich", "q09_range_enrich", "s02_countmin",
+        "p30_netflow_v9_typed", "p31_netflow_v9_options_typed", "k01_pack",
+        "f03_pcap_scan")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

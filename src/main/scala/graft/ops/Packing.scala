@@ -84,12 +84,17 @@ object Packing {
           (greatest(col("seq_id") * L - col("tok_offset"), lit(0L)) + 1).cast("int"),
           (least(col("n_tok").cast("long"), (col("seq_id") + 1) * L - col("tok_offset")) -
             greatest(col("seq_id") * L - col("tok_offset"), lit(0L))).cast("int")).as("frag"))
+    // n_docs = fragment count: a doc covering a sequence contributes exactly
+    // ONE (non-empty) fragment to it, so count(*) ≡ countDistinct(doc_id)
+    // for unique input doc_ids — and avoids countDistinct's two-level
+    // aggregate, which would push the token payload through a second
+    // exchange keyed (seq_id, doc_id)
     frags
       .groupBy("seq_id")
       .agg(
         flatten(transform(array_sort(collect_list(struct(col("start_pos"), col("frag")))),
           s => s("frag"))).as("tokens"),
-        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_docs"),
         sum(size(col("frag"))).as("n_tok"))
       .where(col("n_tok") === seqLen) // drop the trailing partial sequence
       .drop("n_tok")

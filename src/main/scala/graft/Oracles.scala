@@ -158,6 +158,15 @@ object Oracles {
   def withCtes(ctes: String*)(body: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + body
 
+  /** Dotted-quad IPv4 string from a u32 SQL expression (twin of
+    * BinaryDecode.ipv4String).
+    */
+  def dottedSql(a: String): String =
+    s"cast(cast(floor($a/16777216) AS bigint) % 256 AS varchar) || '.' || " +
+      s"cast(cast(floor($a/65536) AS bigint) % 256 AS varchar) || '.' || " +
+      s"cast(cast(floor($a/256) AS bigint) % 256 AS varchar) || '.' || " +
+      s"cast($a % 256 AS varchar)"
+
   /** Twin of Ann.sketches(kProj=32): exact int64 microunit projections
     * (floor(x·1e6 + 0.5) — the cross-engine-stable rounding), one column per
     * projection row.

@@ -324,15 +324,32 @@ object QueriesPipeline {
         concat_ws(",", col("o.hashes")).as("hashes_csv"))
     }),
 
+    // the REAL NetFlow v5 wire format end-to-end: 24-byte header (all 9
+    // fields incl. unix_nsecs / flow_sequence / engine ids / sampling
+    // interval with its mode/rate split) + a 48-byte 18-field record at the
+    // reference's exact offsets (packet.rs:265-288,402-463)
     "p19_netflow_decode" -> ((s, dir) => {
       val r = Tables.nfPackets(s, dir)
         .withColumn("o", graft.operators.BinaryDecode.netflowV5(col("packet")))
       r.where(col("o.ok")).select(col("doc_id"),
         col("o.version").as("version"), col("o.flow_count").as("flow_count"),
         col("o.sys_uptime").as("sys_uptime"), col("o.unix_secs").as("unix_secs"),
-        graft.operators.BinaryDecode.ipv4String(col("o.srcaddr")).as("src_ip"),
+        col("o.unix_nsecs").as("unix_nsecs"),
+        col("o.flow_sequence").as("flow_sequence"),
+        col("o.engine_type").as("engine_type"), col("o.engine_id").as("engine_id"),
+        col("o.sampling_mode").as("sampling_mode"),
+        col("o.sampling_rate").as("sampling_rate"),
+        graft.operators.BinaryDecode.ipv4String(col("o.src_addr")).as("src_ip"),
+        graft.operators.BinaryDecode.ipv4String(col("o.dst_addr")).as("dst_ip"),
+        graft.operators.BinaryDecode.ipv4String(col("o.next_hop")).as("next_hop_ip"),
+        col("o.input").as("input"), col("o.output").as("output"),
+        col("o.d_pkts").as("d_pkts"), col("o.d_octets").as("d_octets"),
+        col("o.first_ms").as("first_ms"), col("o.last_ms").as("last_ms"),
         col("o.src_port").as("src_port"), col("o.dst_port").as("dst_port"),
-        col("o.d_octets").as("d_octets"))
+        col("o.tcp_flags").as("tcp_flags"), col("o.prot").as("prot"),
+        col("o.tos").as("tos"), col("o.src_as").as("src_as"),
+        col("o.dst_as").as("dst_as"), col("o.src_mask").as("src_mask"),
+        col("o.dst_mask").as("dst_mask"))
     }),
 
     // parenthesized tuple lists "(a,b),(c,d)" → rows, the giganto-import
@@ -411,12 +428,21 @@ object QueriesPipeline {
         col("o.aa").as("aa"), col("o.rd").as("rd"))
     }),
 
-    // variable-length packet decode: one row per record, dynamic byte offsets
+    // variable-length REAL v5 packet decode: one row per 48-byte record at
+    // dynamic byte offsets, decode-what-fits on truncated tails (every
+    // did%5==2 packet is cut 8 bytes short of its claimed count and must
+    // still yield its whole records — packet.rs:408-411), header-derived
+    // sequence/engine/sampling carried onto every record like the
+    // reference's Netflow5 struct (packet.rs:445-460)
     "p26_netflow_multi" -> ((s, dir) =>
       graft.operators.BinaryDecode.netflowV5AllRecords(
         Tables.nfPacketsMulti(s, dir).select("doc_id", "packet"))
-        .select("doc_id", "flow_count", "unix_secs", "rec_idx",
-          "srcaddr", "src_port", "dst_port", "d_octets")),
+        .select("doc_id", "flow_count", "unix_secs", "flow_sequence",
+          "engine_type", "engine_id", "sampling_mode", "sampling_rate",
+          "rec_idx", "src_addr", "dst_addr", "next_hop", "input", "output",
+          "d_pkts", "d_octets", "first_ms", "last_ms", "src_port", "dst_port",
+          "tcp_flags", "prot", "tos", "src_as", "dst_as", "src_mask",
+          "dst_mask")),
 
     // schema-driven positional parse (operators/Positional): Conn layout,
     // '-' duration sentinel → 0, counters cast long
@@ -611,9 +637,13 @@ object QueriesPipeline {
         .where(col("o5.ok"))
         .select(col("o5.sys_uptime").as("did"), col("o5.version").as("version"),
           col("cap_sec"), col("o5.unix_secs").as("unix_secs"),
-          graft.operators.BinaryDecode.ipv4String(col("o5.srcaddr")).as("src_ip"),
+          graft.operators.BinaryDecode.ipv4String(col("o5.src_addr")).as("src_ip"),
+          graft.operators.BinaryDecode.ipv4String(col("o5.dst_addr")).as("dst_ip"),
           col("o5.src_port").as("src_port"), col("o5.dst_port").as("dst_port"),
-          col("o5.d_octets").as("d_octets"))
+          col("o5.d_octets").as("d_octets"), col("o5.prot").as("prot"),
+          col("o5.tcp_flags").as("tcp_flags"),
+          col("o5.sampling_mode").as("sampling_mode"),
+          col("o5.sampling_rate").as("sampling_rate"))
     }),
 
     // REAL sysmon CSV file scan WITH a header row (the reference's reader
@@ -943,16 +973,35 @@ object QueriesPipeline {
     }),
 
     "p19_netflow_decode" -> withCtes(V2Cte)(
-      """SELECT doc_id, cast(5 AS bigint) AS version, cast(1 AS bigint) AS flow_count,
-        |  cast(did % 100000 AS bigint) AS sys_uptime,
+      s"""SELECT doc_id, cast(5 AS bigint) AS version, cast(1 AS bigint) AS flow_count,
+        |  cast(did % 4294967296 AS bigint) AS sys_uptime,
         |  cast(1700000000 + did % 1000 AS bigint) AS unix_secs,
-        |  cast(cast(floor(sa/16777216) AS bigint) % 256 AS varchar) || '.' ||
-        |    cast(cast(floor(sa/65536) AS bigint) % 256 AS varchar) || '.' ||
-        |    cast(cast(floor(sa/256) AS bigint) % 256 AS varchar) || '.' ||
-        |    cast(sa % 256 AS varchar) AS src_ip,
+        |  cast((did % 999) * 1000003 % 1000000000 AS bigint) AS unix_nsecs,
+        |  cast((did + 10) % 4294967296 AS bigint) AS flow_sequence,
+        |  cast(did % 4 AS bigint) AS engine_type,
+        |  cast(did % 16 AS bigint) AS engine_id,
+        |  cast((did % 4) * 64 AS bigint) AS sampling_mode,
+        |  cast(did % 16384 AS bigint) AS sampling_rate,
+        |  ${dottedSql("sa")} AS src_ip,
+        |  ${dottedSql("da")} AS dst_ip,
+        |  ${dottedSql("nh")} AS next_hop_ip,
+        |  cast(did % 65536 AS bigint) AS input,
+        |  cast((did * 3) % 65536 AS bigint) AS output,
+        |  cast(did % 100000 AS bigint) AS d_pkts,
+        |  cast(did % 4294967296 AS bigint) AS d_octets,
+        |  cast((did % 999983) * 5 % 4294967296 AS bigint) AS first_ms,
+        |  cast(((did % 999983) * 5 + 1000) % 4294967296 AS bigint) AS last_ms,
         |  cast(1024 + did % 60000 AS bigint) AS src_port, cast(443 AS bigint) AS dst_port,
-        |  cast(did % 4294967296 AS bigint) AS d_octets
-        |FROM (SELECT *, (did % 1000003) * 2654435761 % 4294967296 AS sa FROM v2)""".stripMargin),
+        |  cast(did % 256 AS bigint) AS tcp_flags,
+        |  cast(CASE WHEN did % 2 = 0 THEN 6 ELSE 17 END AS bigint) AS prot,
+        |  cast((did * 3) % 256 AS bigint) AS tos,
+        |  cast(did % 65536 AS bigint) AS src_as,
+        |  cast((did * 7) % 65536 AS bigint) AS dst_as,
+        |  cast(did % 33 AS bigint) AS src_mask,
+        |  cast((did * 3) % 33 AS bigint) AS dst_mask
+        |FROM (SELECT *, (did % 1000003) * 2654435761 % 4294967296 AS sa,
+        |        ((did % 999983) * 7919 + 5) % 4294967296 AS da,
+        |        (did % 999983) * 31 % 4294967296 AS nh FROM v2)""".stripMargin),
 
     "p22_parse_ts_formats" -> withCtes(V2Cte)(
       """SELECT doc_id,
@@ -992,15 +1041,38 @@ object QueriesPipeline {
         |  did % 2 = 0 AS aa, did % 3 = 0 AS rd
         |FROM v2""".stripMargin),
 
+    // decoded-record count: did%5==2 packets are truncated 8 bytes short of
+    // their claimed 1+did%3 records → the last record doesn't fit and only
+    // did%3 decode (decode-what-fits, packet.rs:408-411)
     "p26_netflow_multi" -> withCtes(V2Cte)(
       """SELECT doc_id, cast(1 + did % 3 AS bigint) AS flow_count,
         |  cast(1700000000 + did % 1000 AS bigint) AS unix_secs,
+        |  cast((did + 10) % 4294967296 AS bigint) AS flow_sequence,
+        |  cast(did % 4 AS bigint) AS engine_type,
+        |  cast(did % 16 AS bigint) AS engine_id,
+        |  cast((did % 4) * 64 AS bigint) AS sampling_mode,
+        |  cast(did % 16384 AS bigint) AS sampling_rate,
         |  cast(j AS bigint) AS rec_idx,
-        |  ((did % 1000003) * 2654435761 + j * 7919) % 4294967296 AS srcaddr,
+        |  ((did % 1000003) * 2654435761 + j * 7919) % 4294967296 AS src_addr,
+        |  ((did % 999983) * 7919 + j * 104729 + 5) % 4294967296 AS dst_addr,
+        |  ((did % 999983) * 31 + j * 97) % 4294967296 AS next_hop,
+        |  cast((did + j) % 65536 AS bigint) AS input,
+        |  cast((did * 3 + j) % 65536 AS bigint) AS output,
+        |  cast((did + j) % 100000 AS bigint) AS d_pkts,
+        |  (did + j) % 4294967296 AS d_octets,
+        |  ((did % 999983) * 5 + j) % 4294967296 AS first_ms,
+        |  ((did % 999983) * 5 + j + 1000) % 4294967296 AS last_ms,
         |  cast(1024 + (did + j) % 60000 AS bigint) AS src_port,
         |  cast(443 AS bigint) AS dst_port,
-        |  (did + j) % 4294967296 AS d_octets
-        |FROM (SELECT *, unnest(range(1 + did % 3)) AS j FROM v2)""".stripMargin),
+        |  cast((did + j) % 256 AS bigint) AS tcp_flags,
+        |  cast(CASE WHEN did % 2 = 0 THEN 6 ELSE 17 END AS bigint) AS prot,
+        |  cast((did * 3) % 256 AS bigint) AS tos,
+        |  cast(did % 65536 AS bigint) AS src_as,
+        |  cast((did * 7) % 65536 AS bigint) AS dst_as,
+        |  cast(did % 33 AS bigint) AS src_mask,
+        |  cast((did * 3) % 33 AS bigint) AS dst_mask
+        |FROM (SELECT *, unnest(range(CASE WHEN did % 5 = 2 THEN did % 3
+        |                              ELSE 1 + did % 3 END)) AS j FROM v2)""".stripMargin),
 
     "p27_netflow_v9" -> withCtes(V2Cte)(
       """SELECT
@@ -1027,17 +1099,20 @@ object QueriesPipeline {
         |FROM v2""".stripMargin),
 
     "f03_pcap_scan" -> withCtes(V2Cte)(
-      """SELECT did, cast(5 AS bigint) AS version,
+      s"""SELECT did, cast(5 AS bigint) AS version,
         |  1700000000 + did % 1000 AS cap_sec,
         |  cast(1700000000 + did % 1000 AS bigint) AS unix_secs,
-        |  cast(cast(floor(sa/16777216) AS bigint) % 256 AS varchar) || '.' ||
-        |    cast(cast(floor(sa/65536) AS bigint) % 256 AS varchar) || '.' ||
-        |    cast(cast(floor(sa/256) AS bigint) % 256 AS varchar) || '.' ||
-        |    cast(sa % 256 AS varchar) AS src_ip,
+        |  ${dottedSql("sa")} AS src_ip,
+        |  ${dottedSql("da")} AS dst_ip,
         |  cast(1024 + did % 60000 AS bigint) AS src_port,
         |  cast(443 AS bigint) AS dst_port,
-        |  cast(did % 4294967296 AS bigint) AS d_octets
-        |FROM (SELECT *, (did % 1000003) * 2654435761 % 4294967296 AS sa FROM v2)
+        |  cast(did % 4294967296 AS bigint) AS d_octets,
+        |  cast(CASE WHEN did % 2 = 0 THEN 6 ELSE 17 END AS bigint) AS prot,
+        |  cast(did % 256 AS bigint) AS tcp_flags,
+        |  cast((did % 4) * 64 AS bigint) AS sampling_mode,
+        |  cast(did % 16384 AS bigint) AS sampling_rate
+        |FROM (SELECT *, (did % 1000003) * 2654435761 % 4294967296 AS sa,
+        |        ((did % 999983) * 7919 + 5) % 4294967296 AS da FROM v2)
         |WHERE did % 13 <> 0""".stripMargin),
 
     "f04_file_sysmon" -> {

@@ -17,54 +17,97 @@ object BinaryDecode {
   def beUint(bin: Column, pos: Int, len: Int): Column =
     conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
 
-  /** NetFlow-v5-style packet: header (version u16, count u16, uptime u32,
-    * unix_secs u32) + first record (srcaddr u32, srcport u16, dstport u16,
-    * d_octets u32).
-    */
-  def netflowV5(packet: Column): Column = struct(
-    beUint(packet, 1, 2).as("version"),
-    beUint(packet, 3, 2).as("flow_count"),
-    beUint(packet, 5, 4).as("sys_uptime"),
-    beUint(packet, 9, 4).as("unix_secs"),
-    beUint(packet, 13, 4).as("srcaddr"),
-    beUint(packet, 17, 2).as("src_port"),
-    beUint(packet, 19, 2).as("dst_port"),
-    beUint(packet, 21, 4).as("d_octets"),
-    (beUint(packet, 1, 2) === 5L && length(packet) >= 24).as("ok"))
-
   /** Big-endian unsigned int at a DYNAMIC 1-based byte offset (Column) —
     * needed once records repeat within a packet.
     */
   def beUintAt(bin: Column, pos: Column, len: Int): Column =
     conv(hex(substring(bin, pos, lit(len))), 16, 10).cast("long")
 
-  /** Decode ALL records of a v5-style packet: header (12 bytes: version u16,
-    * count u16, uptime u32, unix_secs u32) followed by `count` 12-byte
-    * records (srcaddr u32, srcport u16, dstport u16, d_octets u32). One row
-    * per record via explode over the header count — the Spark form of the
-    * reference's per-packet record loop
-    * (/root/reference/src/parser/netflow/packet.rs:402-463). Input columns:
-    * (doc_id, packet). Output adds rec_idx and per-record fields.
+  /** The real NetFlow v5 header, all 9 wire fields (24 bytes — reference
+    * parse_netflow_header, /root/reference/src/parser/netflow/packet.rs:
+    * 265-288): version u16, count u16, sys_uptime u32, unix_secs u32,
+    * unix_nsecs u32, flow_sequence u32, engine_type u8, engine_id u8,
+    * sampling_interval u16 — plus the two values the reference derives per
+    * record from the interval (packet.rs:455-459):
+    * sampling_mode = (si & 0xC000) >> 8 and sampling_rate = si & 0x3FFF.
+    */
+  private def v5Header(p: Column): Seq[(String, Column)] = {
+    val si = beUint(p, 23, 2)
+    Seq(
+      "version" -> beUint(p, 1, 2),
+      "flow_count" -> beUint(p, 3, 2),
+      "sys_uptime" -> beUint(p, 5, 4),
+      "unix_secs" -> beUint(p, 9, 4),
+      "unix_nsecs" -> beUint(p, 13, 4),
+      "flow_sequence" -> beUint(p, 17, 4),
+      "engine_type" -> beUint(p, 21, 1),
+      "engine_id" -> beUint(p, 22, 1),
+      "sampling_mode" -> shiftright(si.bitwiseAND(lit(0xC000L)), 8),
+      "sampling_rate" -> si.bitwiseAND(lit(0x3FFFL)))
+  }
+
+  /** One 48-byte NetFlow v5 record at 1-based byte offset `base`, all 18
+    * wire fields at the reference's exact offsets (parse_netflow_v5_datasets,
+    * packet.rs:402-463 — including the two pad bytes it consumes before
+    * tcp_flags and after dst_mask). `first`/`last` are switch-uptime ms,
+    * named *_ms here ("first"/"last" collide with SQL function names in the
+    * oracle engine).
+    */
+  private def v5Record(p: Column, base: Column): Seq[(String, Column)] = Seq(
+    "src_addr" -> beUintAt(p, base, 4),
+    "dst_addr" -> beUintAt(p, base + 4, 4),
+    "next_hop" -> beUintAt(p, base + 8, 4),
+    "input" -> beUintAt(p, base + 12, 2),
+    "output" -> beUintAt(p, base + 14, 2),
+    "d_pkts" -> beUintAt(p, base + 16, 4),
+    "d_octets" -> beUintAt(p, base + 20, 4),
+    "first_ms" -> beUintAt(p, base + 24, 4),
+    "last_ms" -> beUintAt(p, base + 28, 4),
+    "src_port" -> beUintAt(p, base + 32, 2),
+    "dst_port" -> beUintAt(p, base + 34, 2),
+    "tcp_flags" -> beUintAt(p, base + 37, 1),
+    "prot" -> beUintAt(p, base + 38, 1),
+    "tos" -> beUintAt(p, base + 39, 1),
+    "src_as" -> beUintAt(p, base + 40, 2),
+    "dst_as" -> beUintAt(p, base + 42, 2),
+    "src_mask" -> beUintAt(p, base + 44, 1),
+    "dst_mask" -> beUintAt(p, base + 45, 1))
+
+  /** Real NetFlow v5 packet, header + FIRST record as one struct (the
+    * convenient single-record form used by the pcap scan): 24-byte header +
+    * 48-byte record per the reference wire layout (packet.rs:265-288 header,
+    * :402-463 records). ok ⇔ version 5 and at least one whole record
+    * present.
+    */
+  def netflowV5(packet: Column): Column = {
+    val fields = v5Header(packet) ++ v5Record(packet, lit(25L)) :+
+      ("ok" -> (beUint(packet, 1, 2) === 5L && length(packet) >= 72))
+    struct(fields.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Decode ALL records of a real NetFlow v5 packet: 24-byte header followed
+    * by 48-byte records — the Spark form of the reference's per-packet
+    * record loop (packet.rs:402-463) with its decode-what-fits truncation
+    * semantics: the loop breaks when fewer than 48 bytes remain OR the
+    * header count is reached, so a truncated tail yields the whole records
+    * that fit rather than dropping the packet. Input columns: (doc_id,
+    * packet). Output: header fields + rec_idx + all 18 record fields.
     */
   def netflowV5AllRecords(packets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val cnt = beUint(col("packet"), 3, 2)
-    val base = packets
-      .withColumn("version", beUint(col("packet"), 1, 2))
-      .withColumn("flow_count", cnt)
-      .withColumn("sys_uptime", beUint(col("packet"), 5, 4))
-      .withColumn("unix_secs", beUint(col("packet"), 9, 4))
-      .where(col("version") === 5L && length(col("packet")) >= lit(12) + col("flow_count") * 12)
-      // header-only packets (count=0) must yield ZERO record rows — the
-      // reference's record loop runs zero iterations. An unguarded
-      // sequence(0, count-1) would default step to -1 and fabricate [0, -1].
-      .withColumn("rec_idx", explode(when(col("flow_count") > 0,
-        sequence(lit(0L), col("flow_count") - 1)).otherwise(array().cast("array<bigint>"))))
-    val off = (lit(13L) + col("rec_idx") * 12L).cast("int")
-    base
-      .withColumn("srcaddr", beUintAt(col("packet"), off, 4))
-      .withColumn("src_port", beUintAt(col("packet"), off + 4, 2))
-      .withColumn("dst_port", beUintAt(col("packet"), off + 6, 2))
-      .withColumn("d_octets", beUintAt(col("packet"), off + 8, 4))
+    val p = col("packet")
+    val hdr = v5Header(p)
+    // decode-what-fits: min(header count, whole 48-byte records in buffer)
+    val nFit = least(col("flow_count"), floor((length(p) - 24L) / 48L).cast("long"))
+    val base = hdr.foldLeft(packets) { case (df, (n, c)) => df.withColumn(n, c) }
+      .where(col("version") === 5L)
+      // header-only packets (count=0 or no whole record) must yield ZERO
+      // record rows — the reference's loop runs zero iterations. An
+      // unguarded sequence(0, n-1) would default step to -1 and fabricate
+      // [0, -1].
+      .withColumn("rec_idx", explode(when(nFit > 0,
+        sequence(lit(0L), nFit - 1)).otherwise(array().cast("array<bigint>"))))
+    val off = (lit(25L) + col("rec_idx") * 48L).cast("int")
+    v5Record(p, off).foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
       .drop("packet")
   }
 

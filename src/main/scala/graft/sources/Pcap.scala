@@ -32,30 +32,24 @@ object Pcap {
   val GlobalHeaderHex: String =
     "d4c3b2a1" + "0200" + "0400" + "00000000" + "00000000" + "ffff0000" + "01000000"
 
-  /** One captured packet (pcap record header + eth/ip/udp + NetFlow v5
-    * payload in this engine's 12-byte-header layout), as hex, for doc
-    * `did`.
+  /** One captured packet (pcap record header + eth/ip/udp + a real-wire
+    * NetFlow v5 payload: 24-byte header + one 48-byte record —
+    * packet.rs:265-288,402-463), as hex, for doc `did`.
     */
   def packetHex(did: Column): Column = {
     val secs = lit(1700000000L) + did % 1000L
-    val nf = concat(
-      hexN(lit(5L), 4), hexN(lit(1L), 4),
-      hexN(did, 8),                                   // sys_uptime carries did
-      hexN(secs, 8),
-      hexN((did * 2654435761L) % 4294967296L, 8),
-      hexN(lit(1024L) + did % 60000L, 4),
-      hexN(lit(443L), 4),
-      hexN(did % 4294967296L, 8))
+    val nf = concat(Tables.nfV5HeaderHex(did, lit(1L)), Tables.nfV5RecordHex(did, 0))
     val dstPort = when(did % 13 === 0, lit(9999L)).otherwise(lit(2055L))
-    val udp = concat(lit("0c00"), hexN(dstPort, 4), lit("0020"), lit("0000"))
+    // UDP length = 8 (header) + 72 (v5 payload) = 80 = 0x0050
+    val udp = concat(lit("0c00"), hexN(dstPort, 4), lit("0050"), lit("0000"))
     // L2/L3 encapsulation variants exercising the reference's full peel
     // (packet.rs:175-211 and its tests :1358 VLAN, :1385 DCE, :1433 IHL):
     //   did%7==1 → 802.1Q VLAN tag (ethertype 0x8100, TCI, inner 0x0800)
     //   did%7==2 → IPv4 options: IHL=6, 4 option bytes (NOP,NOP,NOP,EOL)
     //   did%7==3 → DCE (0x8903): extra MAC pair before the inner ethertype
     //   otherwise → plain Ethernet + 20-byte IPv4
-    val ipPlain = lit("45000034000000004011" + "0000" + "0a000001" + "0a000002")
-    val ipOpts = lit("46000038000000004011" + "0000" + "0a000001" + "0a000002" + "01010100")
+    val ipPlain = lit("45000064000000004011" + "0000" + "0a000001" + "0a000002")
+    val ipOpts = lit("46000068000000004011" + "0000" + "0a000001" + "0a000002" + "01010100")
     val ethPlain = lit("000000000001" + "000000000002" + "0800")
     val ethVlan = lit("000000000001" + "000000000002" + "8100" + "0064" + "0800")
     val ethDce = lit("000000000001" + "000000000002" + "8903" +
@@ -64,7 +58,8 @@ object Pcap {
       .when(did % 7 === 2, concat(ethPlain, ipOpts))
       .when(did % 7 === 3, concat(ethDce, ipPlain))
       .otherwise(concat(ethPlain, ipPlain))
-    val incl = lit(66L) + when(did % 7 === 1, 4L).when(did % 7 === 2, 4L)
+    // eth 14 + ip 20 + udp 8 + nf 72 = 114, plus the encapsulation extras
+    val incl = lit(114L) + when(did % 7 === 1, 4L).when(did % 7 === 2, 4L)
       .when(did % 7 === 3, 14L).otherwise(0L)
     val recHdr = concat(leHex4(secs), leHex4(lit(0L)), leHex4(incl), leHex4(incl))
     concat(recHdr, l2l3, udp, nf)
@@ -83,7 +78,7 @@ object Pcap {
     // layout change invalidates stale fixtures; `_`-prefixed files are
     // hidden from Spark's file index, like _SUCCESS)
     val nDocs = Tables.documents(spark, sfDir).count()
-    val spec = s"pcap-v4:${(nDocs + 63) / 64}"
+    val spec = s"pcap-v5:${(nDocs + 63) / 64}"
     val marker = new java.io.File(dir, "_spec.txt")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == spec)

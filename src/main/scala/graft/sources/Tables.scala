@@ -249,48 +249,88 @@ object Tables {
       kind2Name(col("doc_id")).as("kind"))
   }
 
-  /** NetFlow-v5-style binary packets, synthesized as deterministic bytes:
-    * header (version u16, count u16, uptime u32, unix_secs u32) + one record
-    * (srcaddr u32, srcport u16, dstport u16, d_octets u32) — the byte layout
-    * shape of the reference's packet decode
-    * (/root/reference/src/parser/netflow/packet.rs:265-303,402-463).
-    * Built via hex-string concat → unhex; decoded back with substring/conv.
+  /** Real NetFlow v5 24-byte header as hex, deterministic per doc — the
+    * reference wire layout (/root/reference/src/parser/netflow/packet.rs:
+    * 265-288): version, count, sys_uptime, unix_secs, unix_nsecs,
+    * flow_sequence, engine_type, engine_id, sampling_interval. The interval
+    * packs mode (top 2 bits) and rate (low 14) so the decoder's
+    * sampling_mode = (si & 0xC000) >> 8 / sampling_rate = si & 0x3FFF
+    * derivation is exercised on every packet.
+    */
+  private[sources] def nfV5HeaderHex(did: Column, cnt: Column): Column = {
+    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
+    concat(
+      hexN(lit(5L), 4), hexN(cnt, 4),
+      hexN(did % 4294967296L, 8),                           // sys_uptime (carries did — the f03 scan recovers the doc key from it)
+      hexN(lit(1700000000L) + did % 1000L, 8),              // unix_secs
+      hexN((did % 999L) * 1000003L % 1000000000L, 8),       // unix_nsecs
+      hexN((did + 10L) % 4294967296L, 8),                   // flow_sequence
+      hexN(did % 4L, 2),                                    // engine_type
+      hexN(did % 16L, 2),                                   // engine_id
+      hexN((did % 4L) * 16384L + did % 16384L, 4))          // sampling_interval
+  }
+
+  /** One real 48-byte NetFlow v5 record as hex for (did, record j) — all 18
+    * wire fields plus the two pad bytes at the reference's exact offsets
+    * (packet.rs:402-463). Every value is derived (mod-first, so no engine
+    * overflows at any doc count) for arithmetic oracle re-derivation.
+    */
+  private[sources] def nfV5RecordHex(did: Column, j: Int): Column = {
+    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
+    val dm = did % 999983L
+    concat(
+      hexN((did % 1000003L * 2654435761L + j * 7919L) % 4294967296L, 8), // src_addr
+      hexN((dm * 7919L + j * 104729L + 5L) % 4294967296L, 8),            // dst_addr
+      hexN((dm * 31L + j * 97L) % 4294967296L, 8),                       // next_hop
+      hexN((did + j) % 65536L, 4),                                       // input
+      hexN((did * 3L + j) % 65536L, 4),                                  // output
+      hexN((did + j) % 100000L, 8),                                      // d_pkts
+      hexN((did + j) % 4294967296L, 8),                                  // d_octets
+      hexN((dm * 5L + j) % 4294967296L, 8),                              // first
+      hexN((dm * 5L + j + 1000L) % 4294967296L, 8),                      // last
+      hexN(lit(1024L) + (did + j) % 60000L, 4),                          // src_port
+      hexN(lit(443L), 4),                                                // dst_port
+      lit("00"),                                                         // pad
+      hexN((did + j) % 256L, 2),                                         // tcp_flags
+      when(did % 2 === 0, lit("06")).otherwise(lit("11")),               // prot 6/17
+      hexN((did * 3L) % 256L, 2),                                        // tos
+      hexN(did % 65536L, 4),                                             // src_as
+      hexN((did * 7L) % 65536L, 4),                                      // dst_as
+      hexN(did % 33L, 2),                                                // src_mask
+      hexN((did * 3L) % 33L, 2),                                         // dst_mask
+      lit("0000"))                                                       // pad
+  }
+
+  /** Real-wire NetFlow v5 binary packets, one record each: the 24-byte
+    * header + one 48-byte record (packet.rs:265-288,402-463). Built via
+    * hex-string concat → unhex; decoded back with substring/conv.
     */
   def nfPackets(spark: SparkSession, dir: String): DataFrame = {
     val did = col("doc_id")
-    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
-    val pkt = concat(
-      hexN(lit(5L), 4),                                     // version
-      hexN(lit(1L), 4),                                     // count
-      hexN(did % 100000L, 8),                               // sys_uptime
-      hexN(lit(1700000000L) + did % 1000L, 8),              // unix_secs
-      hexN(did % 1000003L * 2654435761L % 4294967296L, 8),           // srcaddr
-      hexN(lit(1024L) + did % 60000L, 4),                   // srcport
-      hexN(lit(443L), 4),                                   // dstport
-      hexN(did % 4294967296L, 8))                           // d_octets
+    val pkt = concat(nfV5HeaderHex(did, lit(1L)), nfV5RecordHex(did, 0))
     documents(spark, dir).select(
       concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
       did.as("did"),
       unhex(pkt).as("packet"))
   }
 
-  /** Multi-record NetFlow packets: count = 1 + did%3 records per packet
-    * (variable-length payload, the shape the reference's record loop
-    * decodes — packet.rs:402-463).
+  /** Multi-record real-wire NetFlow v5 packets: count = 1 + did%3 records of
+    * 48 bytes (variable-length payload, the shape the reference's record
+    * loop decodes — packet.rs:402-463). Every did%5==2 packet has its LAST
+    * record truncated 8 bytes short while the header still claims the full
+    * count — the reference decodes the whole records that fit
+    * (`remained < NETFLOW_V5_RECORD_LENGTH` break, packet.rs:408-411), so
+    * the decoder must emit count−1 records there, not drop the packet.
     */
   def nfPacketsMulti(spark: SparkSession, dir: String): DataFrame = {
     val did = col("doc_id")
-    def hexN(v: Column, width: Int): Column = lpad(lower(hex(v)), width, "0")
     val cnt = lit(1L) + did % 3L
-    def rec(j: Int): Column = when(lit(j) < cnt, concat(
-      hexN((did % 1000003L * 2654435761L + j * 7919L) % 4294967296L, 8),
-      hexN(lit(1024L) + (did + j) % 60000L, 4),
-      hexN(lit(443L), 4),
-      hexN((did + j) % 4294967296L, 8))).otherwise(lit(""))
-    val pkt = concat(
-      hexN(lit(5L), 4), hexN(cnt, 4),
-      hexN(did % 100000L, 8), hexN(lit(1700000000L) + did % 1000L, 8),
-      rec(0), rec(1), rec(2))
+    def rec(j: Int): Column =
+      when(lit(j) < cnt, nfV5RecordHex(did, j)).otherwise(lit(""))
+    val body = concat(rec(0), rec(1), rec(2))
+    val trimmed = when(did % 5 === 2,
+      substring(body, lit(1), ((cnt * 96L) - 16L).cast("int"))).otherwise(body)
+    val pkt = concat(nfV5HeaderHex(did, cnt), trimmed)
     documents(spark, dir).select(
       concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
       did.as("did"),

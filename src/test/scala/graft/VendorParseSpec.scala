@@ -55,20 +55,51 @@ class VendorParseSpec extends SparkSpec {
     assert(rows(1) === (("host2.example.com", Seq.empty, Seq.empty, false, true)))
   }
 
-  test("netflow v5 binary: big-endian fields decode from raw bytes") {
-    // version=5, count=1, uptime=0x0001e240 (123456), secs=0x655fa1c0,
-    // srcaddr=10.1.2.3 = 0x0a010203, sport=0x1f90 (8080), dport=0x01bb (443),
-    // octets=0x000f4240 (1000000)
-    val hexStr = "0005" + "0001" + "0001e240" + "655fa1c0" + "0a010203" + "1f90" + "01bb" + "000f4240"
-    val r = Seq(hexStr).toDF("h")
+  test("netflow v5 binary: the reference's own v5_record.hex fixture decodes field-for-field") {
+    // header mirrors the reference test's Netflow5Header
+    // (packet.rs:888-912: flow_sequence=1, engine_type=2, engine_id=3,
+    // sampling_interval=0x4001 → mode 64, rate 1); the record bytes are
+    // /root/reference/tests/fixtures/netflow/v5_record.hex verbatim
+    val header = "0005" + "0001" + "0001e240" + "655fa1c0" + "00000000" +
+      "00000001" + "02" + "03" + "4001"
+    val record = "0a000001" + "0a000002" + "0a0000fe" + "0001" + "0002" +
+      "00000005" + "00000064" + "0000007b" + "000001c8" + "04d2" + "0050" +
+      "00" + "12" + "06" + "00" + "fde8" + "fde9" + "18" + "18" + "0000"
+    val df = Seq(header + record).toDF("h")
       .select(BinaryDecode.netflowV5(unhex($"h")).as("o"))
-      .select("o.version", "o.flow_count", "o.sys_uptime", "o.unix_secs",
-        "o.srcaddr", "o.src_port", "o.dst_port", "o.d_octets", "o.ok")
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
-    assert(r === ((5L, 1L, 123456L, 0x655fa1c0L, 0x0a010203L, 8080L, 443L, 1000000L, true)))
-    // and the dotted-quad rendering
-    val ip = Seq(0x0a010203L).toDF("a").select(BinaryDecode.ipv4String($"a")).as[String].head()
-    assert(ip === "10.1.2.3")
+    val r1 = df.select("o.version", "o.flow_count", "o.sys_uptime", "o.unix_secs",
+      "o.flow_sequence", "o.engine_type", "o.engine_id",
+      "o.sampling_mode", "o.sampling_rate")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r1 === ((5L, 1L, 123456L, 0x655fa1c0L, 1L, 2L, 3L, 64L, 1L)))
+    val r2 = df.select("o.src_addr", "o.dst_addr", "o.next_hop", "o.input",
+      "o.output", "o.d_pkts", "o.d_octets", "o.first_ms", "o.last_ms")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r2 === ((0x0a000001L, 0x0a000002L, 0x0a0000feL, 1L, 2L, 5L, 100L, 123L, 456L)))
+    val r3 = df.select("o.src_port", "o.dst_port", "o.tcp_flags", "o.prot",
+      "o.tos", "o.src_as", "o.dst_as", "o.src_mask", "o.dst_mask", "o.ok")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(r3 === ((1234L, 80L, 0x12L, 6L, 0L, 65000L, 65001L, 24L, 24L, true)))
+    // dotted-quad rendering matches the reference's IpAddr display
+    val ips = df.select(
+      BinaryDecode.ipv4String($"o.src_addr"), BinaryDecode.ipv4String($"o.next_hop"))
+      .as[(String, String)].head()
+    assert(ips === (("10.0.0.1", "10.0.0.254")))
+  }
+
+  test("netflow v5 truncated tail: whole records decode, partial tail dropped, never the packet") {
+    // header claims 3 records; buffer holds 2 whole + a 40-byte partial —
+    // the reference decodes the 2 that fit (packet.rs:408-411)
+    val header = "0005" + "0003" + "00000000" + "00000000" + "00000000" +
+      "00000001" + "00" + "00" + "0000"
+    def rec(sp: Int) = "0a000001" + "0a000002" + "0a0000fe" + "0001" + "0002" +
+      "00000005" + "00000064" + "0000007b" + "000001c8" +
+      f"$sp%04x" + "0050" + "00" + "12" + "06" + "00" + "fde8" + "fde9" + "18" + "18" + "0000"
+    val full = header + rec(1000) + rec(1001) + rec(1002).dropRight(16)
+    val out = BinaryDecode.netflowV5AllRecords(
+      Seq(("d0", full)).toDF("doc_id", "h").select($"doc_id", unhex($"h").as("packet")))
+      .select("rec_idx", "src_port").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 1000L), (1L, 1001L)))
   }
 
   test("non-matching lines fail closed (ok=false), never throw") {

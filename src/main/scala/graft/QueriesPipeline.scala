@@ -300,10 +300,11 @@ object QueriesPipeline {
 
     "p16_parse_wapples" -> ((s, dir) => {
       val r = Tables.rawEvents2(s, dir).where(col("kind") === "wapples")
-        .withColumn("o", graft.operators.ParseVendors.wapples(col("raw_line")))
+        .withColumn("o", graft.operators.ParseVendors.wapples(col("raw_line"),
+          Dedup.securitySerial(col("line_no"))))
       r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
-        col("o.src_ip").as("src_ip"), col("o.rule").as("rule"),
-        col("o.action").as("action"))
+        col("o.src_ip").as("src_ip"), col("o.dst_ip").as("dst_ip"),
+        col("o.dst_port").as("dst_port"), col("o.proto").as("proto"))
     }),
 
     "p17_parse_ubuntu" -> ((s, dir) => {
@@ -943,11 +944,17 @@ object QueriesPipeline {
     // family-2 oracles: independent arithmetic re-derivation from doc_id
     // (the oracle does NOT re-parse the line — it computes what the parse
     // must produce, so a Spark-side parse bug cannot self-confirm)
+    // offset read from the text: +0900 docs shift back 9h, -0500 forward 5h;
+    // serial 1..999 added like the reference's security-log collector
     "p16_parse_wapples" -> withCtes(V2Cte)(
-      """SELECT doc_id, (epoch_us(make_timestamp(2023, mo, dy, hh, mi, cast(ss AS double))) - 32400000000)*1000 AS ts_ns,
+      """SELECT doc_id,
+        |  (epoch_us(make_timestamp(2023, mo, dy, hh, mi, cast(ss AS double)))
+        |   - CASE WHEN did % 4 < 2 THEN 32400000000 ELSE -18000000000 END)*1000
+        |   + ((did - 1) % 999) + 1 AS ts_ns,
         |  '10.1.1.' || cast(did % 200 + 1 AS varchar) AS src_ip,
-        |  'r' || cast(did % 50 AS varchar) AS rule,
-        |  CASE WHEN did % 2 = 0 THEN 'allow' ELSE 'block' END AS action
+        |  '10.9.' || cast(did % 250 AS varchar) || '.' || cast(did % 200 + 1 AS varchar) AS dst_ip,
+        |  cast(1 + did % 65535 AS int) AS dst_port,
+        |  'tcp' AS proto
         |FROM v2 WHERE did % 3 = 0""".stripMargin),
 
     "p17_parse_ubuntu" -> withCtes(V2Cte)(

@@ -21,21 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object ParseVendors {
 
-  val WapplesRe = "^\\[WAPPLES\\] time=\"([^\"]+)\" src=(\\S+) rule=(\\S+) act=(\\w+)$"
+  /** The reference's wapples grammar VERBATIM (wapples.rs:17: optional
+    * brackets on every WAPPLES token, `DETECTION TIME :` / `RULE NAME :`
+    * literals, a `[\w\s]+` rule name that is matched but not captured,
+    * `(client ip [WAPPLES]) -> (server ip:port)`). The datetime carries its
+    * own offset in the text (`%Y-%m-%d %H:%M:%S %z`, wapples.rs:22-28) —
+    * NOT an assumed +0900.
+    */
+  val WapplesRe: String =
+    "\\[?WAPPLES\\]? DETECTION TIME : (\\S+ \\S+ \\S+) \\[?WAPPLES\\]? RULE NAME : " +
+      "[\\w\\s]+ \\[?WAPPLES\\]? \\(client (\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}) " +
+      "\\[?WAPPLES\\]?\\) -> \\(server (\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}):(\\d+)\\)"
   val UbuntuRe = "^(\\w+ \\d+ \\d+:\\d+:\\d+) (\\S+) (\\w+)\\[(\\d+)\\]: (.*)$"
 
   private def nsOf(ts: Column): Column = unix_micros(ts) * lit(1000L)
 
-  /** wapples-style: quoted local datetime, +0900 → UTC. */
-  def wapples(line: Column): Column = {
-    val t = regexp_extract(line, WapplesRe, 1)
-    val ts = to_utc_timestamp(to_timestamp(t, "yyyy-MM-dd HH:mm:ss"), "+09:00")
+  /** wapples: the reference's regex + strptime semantics, emitting the
+    * SecuLog shape it builds (wapples.rs:62-75: orig/resp addr, resp port,
+    * proto TCP, contents = the whole line) with `serial` added to the
+    * timestamp like every security-log parse
+    * (src/collector/security_log.rs serial 1..999).
+    */
+  def wapples(line: Column, serial: Column): Column = {
+    val dt = regexp_extract(line, WapplesRe, 1)
+    // "yyyy-MM-dd HH:mm:ss Z" == the reference's %Y-%m-%d %H:%M:%S %z —
+    // the ±HHmm offset is read from the text
+    val ts = to_timestamp(dt, "yyyy-MM-dd HH:mm:ss Z")
     struct(
-      nsOf(ts).as("ts_ns"),
+      (nsOf(ts) + serial).as("ts_ns"),
       regexp_extract(line, WapplesRe, 2).as("src_ip"),
-      regexp_extract(line, WapplesRe, 3).as("rule"),
-      regexp_extract(line, WapplesRe, 4).as("action"),
-      (regexp_extract(line, WapplesRe, 1) =!= "").as("ok"))
+      regexp_extract(line, WapplesRe, 3).as("dst_ip"),
+      regexp_extract(line, WapplesRe, 4).cast("int").as("dst_port"),
+      lit("tcp").as("proto"),
+      line.as("contents"),
+      (regexp_extract(line, WapplesRe, 1) =!= "" && ts.isNotNull).as("ok"))
   }
 
   /** ubuntu-style syslog: month-name datetime without year; `pinYear` is

@@ -161,9 +161,22 @@ object Tables {
     val hexId = lpad((did % 100000).cast("string"), 5, "0") // decimal digits read as base-16
     val tab = lit("\t")
     val k = did % 3
-    when(k === 0, concat(lit("[WAPPLES] time=\""), dt, lit("\" src=10.1.1."),
-        (did % 200 + 1).cast("string"), lit(" rule=r"), (did % 50).cast("string"),
-        lit(" act="), act))
+    // wapples lines on the reference's own grammar (wapples.rs:17, fixture
+    // lines :100-117): syslog prefix, WAPPLES tokens bracketed on odd docs,
+    // `DETECTION TIME : <dt> <±hhmm>` with the offset IN THE TEXT (+0900 or
+    // -0500 — the parser must read it, not assume KST), `RULE NAME :` with
+    // a spaces-and-words name, `(client ip W) -> (server ip:port)`
+    val w = when(did % 2 === 0, lit("WAPPLES")).otherwise(lit("[WAPPLES]"))
+    val off = when(did % 4 < 2, lit("+0900")).otherwise(lit("-0500"))
+    val wapplesLine = concat(
+      lit("<182>Jan 9 09:26:09 penta wplogd: "), w, lit(" INTRUSION "),
+      w, lit(" DETECTION TIME : "), dt, lit(" "), off,
+      lit(" "), w, lit(" RULE NAME : Rule Filter "), (did % 50).cast("string"),
+      lit(" "), w, lit(" (client 10.1.1."), (did % 200 + 1).cast("string"),
+      lit(" "), w, lit(") -> (server 10.9."), (did % 250).cast("string"),
+      lit("."), (did % 200 + 1).cast("string"), lit(":"),
+      (lit(1L) + did % 65535L).cast("string"), lit(")"))
+    when(k === 0, wapplesLine)
       .when(k === 1, concat(monName, lit(" "), dy, lit(" "), hh, lit(":"), mi, lit(":"), ss,
         lit(" host"), (did % 20).cast("string"), lit(" sshd["), (did % 9000 + 100).cast("string"),
         lit("]: Failed password for user"), did.cast("string"), lit(" from 10.0.0.5")))

@@ -40,7 +40,7 @@ class ParserFuzzSpec extends SparkSpec {
     }
     // distinct-signature parsers
     val single = Seq(
-      ParseVendors.wapples(col("line")),
+      ParseVendors.wapples(col("line"), col("serial")),
       ParseVendors.dns(col("line")),
       ParseVendors.sysmon(col("line")),
       ParseVendors.ubuntu(col("line"), col("serial")))

@@ -15,14 +15,6 @@ class VendorParseSpec extends SparkSpec {
   private def ns(dt: String, plusNanos: Long = 0L): Long =
     LocalDateTime.parse(dt).toEpochSecond(ZoneOffset.UTC) * 1000000000L + plusNanos
 
-  test("wapples: quoted KST datetime shifts -9h to UTC ns; fields extracted") {
-    val line = """[WAPPLES] time="2023-03-15 07:26:09" src=10.1.1.42 rule=r7 act=block"""
-    val r = Seq(line).toDF("l").select(ParseVendors.wapples($"l").as("o"))
-      .select("o.*").as[(Long, String, String, String, Boolean)].head()
-    assert(r._1 === ns("2023-03-15T07:26:09") - 9L * 3600 * 1000000000L)
-    assert(r === ((r._1, "10.1.1.42", "r7", "block", true)))
-  }
-
   test("ubuntu syslog: month name + injected year + serial; fields extracted") {
     val line = "Oct 15 04:05:06 host3 sshd[812]: Failed password for user9 from 10.0.0.5"
     val r = Seq(line).toDF("l")
@@ -102,10 +94,47 @@ class VendorParseSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1000L), (1L, 1001L)))
   }
 
+  test("wapples: the reference's fixture lines parse field-for-field, both bracket variants") {
+    // the two logs from the reference's parse_wapples_maps_fields_correctly
+    // test (wapples.rs:100-117), verbatim
+    val plain = "<182>Jan 9 09:26:09 penta wplogd: WAPPLES INTRUSION WAPPLES " +
+      "DETECTION TIME : 2020-01-09 09:26:09 +0900 WAPPLES RULE NAME : " +
+      "Extension Filtering WAPPLES (client 119.75.88.90 WAPPLES) -> " +
+      "(server 210.99.177.16:1443)"
+    val bracketed = "<182>Jan 9 09:26:09 penta wplogd: [WAPPLES] INTRUSION [WAPPLES] " +
+      "DETECTION TIME : 2020-01-09 09:26:09 +0900 [WAPPLES] RULE NAME : " +
+      "Extension Filtering [WAPPLES] (client 119.75.88.90 [WAPPLES]) -> " +
+      "(server 210.99.177.16:1443)"
+    val serial = 42L
+    val rows = Seq(plain, bracketed).toDF("l")
+      .select(ParseVendors.wapples($"l", lit(serial)).as("o"))
+      .select("o.ts_ns", "o.src_ip", "o.dst_ip", "o.dst_port", "o.proto", "o.ok")
+      .as[(Long, String, String, Int, String, Boolean)].collect()
+    val want = java.time.OffsetDateTime
+      .parse("2020-01-09T09:26:09+09:00").toInstant.getEpochSecond * 1000000000L + serial
+    rows.foreach { r =>
+      assert(r === ((want, "119.75.88.90", "210.99.177.16", 1443, "tcp", true)))
+    }
+    // a -0500 offset in the text shifts the other way (the %z is read, not
+    // an assumed KST)
+    val other = plain.replace("+0900", "-0500")
+    val ts = Seq(other).toDF("l")
+      .select(ParseVendors.wapples($"l", lit(0L))("ts_ns")).as[Long].head()
+    assert(ts === java.time.OffsetDateTime
+      .parse("2020-01-09T09:26:09-05:00").toInstant.getEpochSecond * 1000000000L)
+    // the reference's truncated fixture (missing server part) must fail
+    val truncated = "<182>Jan 9 09:26:09 penta wplogd: WAPPLES INTRUSION WAPPLES " +
+      "DETECTION TIME : 2020-01-09 09:26:09 +0900 WAPPLES RULE NAME : " +
+      "Extension Filtering WAPPLES (client 119.75.88.90 WAPPLES)"
+    val ok = Seq(truncated).toDF("l")
+      .select(ParseVendors.wapples($"l", lit(0L))("ok")).as[Boolean].head()
+    assert(!ok)
+  }
+
   test("non-matching lines fail closed (ok=false), never throw") {
     val junk = Seq("garbage", "", "[WAPPLES] nope").toDF("l")
     val oks = junk.select(
-      ParseVendors.wapples($"l")("ok").as("w"),
+      ParseVendors.wapples($"l", lit(1L))("ok").as("w"),
       ParseVendors.ubuntu($"l", lit(1L))("ok").as("u"),
       ParseVendors.dns($"l")("ok").as("d"))
       .as[(Boolean, Boolean, Boolean)].collect()

@@ -16,6 +16,18 @@ object QueriesPipeline {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Framed v9 flowset rows (from the typed walk or the Catalyst form) →
+    * the stateful decode's NfRec shape.
+    */
+  private def nfRecsOf(s: SparkSession, recs: DataFrame) = {
+    import s.implicits._
+    recs.select(col("exporter"), col("template_id").as("templateId"),
+      col("seq"), col("is_template").as("isTemplate"), col("widths"),
+      col("payload"), col("max_recs").as("maxRecs"),
+      col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
+      .as[graft.streaming.Templates.NfRec]
+  }
+
   private def toks(s: SparkSession, dir: String) = Tables.tokens(s, dir)
   private def raws(s: SparkSession, dir: String) = Tables.rawEvents(s, dir)
   private def parsed(s: SparkSession, dir: String) = Parse.parsed(raws(s, dir))
@@ -467,19 +479,16 @@ object QueriesPipeline {
           col("o.orig_pkts").as("orig_pkts"), col("o.resp_pkts").as("resp_pkts"))
     }),
 
-    // real NetFlow v9: wire-format flowset framing (Catalyst byte slicing)
-    // feeding the template-stateful decode — cross-packet template state per
-    // exporter, data-before-template and never-defined-template packets
-    // emitted as undecodable (counted-and-skipped), record loop bounded by
-    // the header count
+    // real NetFlow v9: wire-format flowset framing (typed per-packet walk —
+    // unbounded flowset/template counts; did%10==9 packets carry 8
+    // flowsets) feeding the template-stateful decode — cross-packet
+    // template state per exporter, data-before-template and
+    // never-defined-template packets emitted as undecodable
+    // (counted-and-skipped), record loop bounded by the header count
     "p27_netflow_v9" -> ((s, dir) => {
       import s.implicits._
-      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9Packets(s, dir))
-      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
-        col("seq"), col("is_template").as("isTemplate"), col("widths"),
-        col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
-        .as[graft.streaming.Templates.NfRec]
+      val recs = graft.operators.BinaryDecode.v9FlowsetWalk(Tables.nfV9Packets(s, dir))
+      val ds = nfRecsOf(s, recs)
       graft.streaming.Templates.decodeBatch(ds).toDF()
         .select(col("exporter").cast("long").as("exporter_id"),
           col("templateId").as("template_id"), col("seq"),
@@ -494,12 +503,8 @@ object QueriesPipeline {
     // record layout across packets (reference packet.rs:357-400,484-505)
     "p29_netflow_v9_options" -> ((s, dir) => {
       import s.implicits._
-      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9OptionsPackets(s, dir))
-      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
-        col("seq"), col("is_template").as("isTemplate"), col("widths"),
-        col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
-        .as[graft.streaming.Templates.NfRec]
+      val recs = graft.operators.BinaryDecode.v9FlowsetWalk(Tables.nfV9OptionsPackets(s, dir))
+      val ds = nfRecsOf(s, recs)
       graft.streaming.Templates.decodeBatch(ds).toDF()
         .select(col("exporter").cast("long").as("exporter_id"),
           col("templateId").as("template_id"), col("seq"), col("decoded"),
@@ -515,12 +520,8 @@ object QueriesPipeline {
     // One output row per (record, field): (name, rendered).
     "p30_netflow_v9_typed" -> ((s, dir) => {
       import s.implicits._
-      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9TypedPackets(s, dir))
-      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
-        col("seq"), col("is_template").as("isTemplate"), col("widths"),
-        col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
-        .as[graft.streaming.Templates.NfRec]
+      val recs = graft.operators.BinaryDecode.v9FlowsetWalk(Tables.nfV9TypedPackets(s, dir))
+      val ds = nfRecsOf(s, recs)
       graft.streaming.Templates.decodeBatch(ds).toDF().where(col("decoded"))
         .select(col("exporter").cast("long").as("exporter_id"), col("seq"),
           col("recIdx").as("rec_idx"),
@@ -537,12 +538,8 @@ object QueriesPipeline {
     // (lowercase hex) render, the rest FieldTypes names + type-aware values
     "p31_netflow_v9_options_typed" -> ((s, dir) => {
       import s.implicits._
-      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9OptionsPackets(s, dir))
-      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
-        col("seq"), col("is_template").as("isTemplate"), col("widths"),
-        col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
-        .as[graft.streaming.Templates.NfRec]
+      val recs = graft.operators.BinaryDecode.v9FlowsetWalk(Tables.nfV9OptionsPackets(s, dir))
+      val ds = nfRecsOf(s, recs)
       graft.streaming.Templates.decodeBatch(ds).toDF().where(col("decoded"))
         .select(col("exporter").cast("long").as("exporter_id"), col("seq"),
           col("scopeCnt"),
@@ -564,12 +561,8 @@ object QueriesPipeline {
     // stateful decode, one aggregate row
     "p28_netflow_stats" -> ((s, dir) => {
       import s.implicits._
-      val recs = graft.operators.BinaryDecode.netflowV9Recs(Tables.nfV9Packets(s, dir))
-      val ds = recs.select(col("exporter"), col("template_id").as("templateId"),
-        col("seq"), col("is_template").as("isTemplate"), col("widths"),
-        col("payload"), col("max_recs").as("maxRecs"),
-        col("field_types").as("types"), col("scope_cnt").as("scopeCnt"))
-        .as[graft.streaming.Templates.NfRec]
+      val recs = graft.operators.BinaryDecode.v9FlowsetWalk(Tables.nfV9Packets(s, dir))
+      val ds = nfRecsOf(s, recs)
       val fs = recs.agg(
         sum(when(col("is_template"), 1L).otherwise(0L)).as("template_flowsets"),
         sum(when(!col("is_template"), 1L).otherwise(0L)).as("data_flowsets"),
@@ -580,6 +573,38 @@ object QueriesPipeline {
         sum(when(col("decoded"), 1L).otherwise(0L)).as("decoded_records"),
         sum(when(!col("decoded"), 1L).otherwise(0L)).as("undecodable_flowsets"))
       fs.crossJoin(ev)
+    }),
+
+    // persisted template state across RUNS (the NETFLOW_TEMPLATES_PATH
+    // analog, reference src/collector/netflow.rs:51-57,95-106) end-to-end:
+    // run 1 sees ONLY the template packets and commits the dictionary
+    // snapshot; run 2 decodes ONLY the data packets from a cold session —
+    // every decode below therefore comes out of the persisted store. Warm
+    // templates apply from the start of the run (seq = -inf), so even the
+    // data-before-template packets (did%10==1) decode here, unlike p27;
+    // only the never-defined template (did%10==5) stays undecodable.
+    "p32_netflow_v9_resume" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val base = s"target/stage/tplstore_$tag"
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+      }
+      rm(new java.io.File(base)) // the two-run drill must start cold
+      val ds = nfRecsOf(s,
+        graft.operators.BinaryDecode.v9FlowsetWalk(Tables.nfV9Packets(s, dir)))
+      // run 1: templates only (registers + saves; decodes nothing)
+      graft.streaming.TemplateStore.decodeBatchResumable(
+        ds.where(col("isTemplate")), base).count()
+      // run 2: data only, warm-started from the snapshot
+      graft.streaming.TemplateStore.decodeBatchResumable(
+        ds.where(!col("isTemplate")), base).toDF()
+        .select(col("exporter").cast("long").as("exporter_id"),
+          col("templateId").as("template_id"), col("seq"),
+          col("recIdx").as("rec_idx"), col("decoded"),
+          element_at(col("fields"), 1).as("srcaddr"),
+          element_at(col("fields"), 2).as("src_port"),
+          element_at(col("fields"), 3).as("dst_port"),
+          element_at(col("fields"), 4).as("in_bytes"))
     }),
 
     // REAL tab-separated file scan with '#' comment skipping (the §2.1 Zeek
@@ -1081,20 +1106,26 @@ object QueriesPipeline {
         |FROM (SELECT *, unnest(range(CASE WHEN did % 5 = 2 THEN did % 3
         |                              ELSE 1 + did % 3 END)) AS j FROM v2)""".stripMargin),
 
+    // did%10==9: the 8-flowset walk case — 7 single-record data flowsets
+    // against the packet's own template (tid+300), each decoding at
+    // rec_idx 0 with the j-th record's values
     "p27_netflow_v9" -> withCtes(V2Cte)(
       """SELECT
         |  cast((did//10) % 4294967296 AS bigint) AS exporter_id,
         |  cast(CASE WHEN did % 10 = 5 THEN 256 + (did//10) % 100 + 101
         |            WHEN did % 10 = 3 THEN 256 + (did//10) % 100 + 200
+        |            WHEN did % 10 = 9 THEN 256 + (did//10) % 100 + 300
         |            ELSE 256 + (did//10) % 100 END AS int) AS template_id,
         |  CASE WHEN did % 10 = 1 THEN did + 8 ELSE did + 10 END AS seq,
-        |  cast(j AS int) AS rec_idx,
+        |  cast(CASE WHEN did % 10 = 9 THEN 0 ELSE j END AS int) AS rec_idx,
         |  did % 10 NOT IN (1, 5) AS decoded,
         |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE ((did % 1000003) * 2654435761 + j * 7919) % 4294967296 END AS srcaddr,
         |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE 1024 + (did + j) % 60000 END AS src_port,
         |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE 443 END AS dst_port,
         |  CASE WHEN did % 10 IN (1, 5) THEN NULL ELSE (did + j) % 4294967296 END AS in_bytes
-        |FROM (SELECT *, unnest(range(CASE WHEN did % 10 IN (1, 5, 7) THEN 1 ELSE 1 + did % 2 END)) AS j
+        |FROM (SELECT *, unnest(range(CASE WHEN did % 10 = 9 THEN 7
+        |                             WHEN did % 10 IN (1, 5, 7) THEN 1
+        |                             ELSE 1 + did % 2 END)) AS j
         |      FROM v2 WHERE did % 10 <> 0)""".stripMargin),
 
     "f01_file_scan" -> withCtes(V2Cte)(
@@ -1216,15 +1247,42 @@ object QueriesPipeline {
            |FROM f""".stripMargin)
     },
 
+    // template entries: 2 back-to-back per did%10==0 packet, 1 in the
+    // multi-flowset did%10==9 packet; data flowsets: 7 per did%10==9;
+    // truncated stays 0 — the typed walk has no flowset bound to hit
     "p28_netflow_stats" -> withCtes(V2Cte)(
       """SELECT
-        |  cast(sum(CASE WHEN did % 10 = 0 THEN 2 ELSE 0 END) AS bigint) AS template_flowsets,
-        |  cast(sum(CASE WHEN did % 10 <> 0 THEN 1 ELSE 0 END) AS bigint) AS data_flowsets,
+        |  cast(sum(CASE WHEN did % 10 = 0 THEN 2 WHEN did % 10 = 9 THEN 1 ELSE 0 END) AS bigint) AS template_flowsets,
+        |  cast(sum(CASE WHEN did % 10 = 0 THEN 0 WHEN did % 10 = 9 THEN 7 ELSE 1 END) AS bigint) AS data_flowsets,
         |  cast(0 AS bigint) AS truncated_flowsets,
         |  cast(sum(CASE WHEN did % 10 IN (0, 1, 5) THEN 0
-        |                WHEN did % 10 = 7 THEN 1 ELSE 1 + did % 2 END) AS bigint) AS decoded_records,
+        |                WHEN did % 10 = 7 THEN 1
+        |                WHEN did % 10 = 9 THEN 7 ELSE 1 + did % 2 END) AS bigint) AS decoded_records,
         |  cast(sum(CASE WHEN did % 10 IN (1, 5) THEN 1 ELSE 0 END) AS bigint) AS undecodable_flowsets
         |FROM v2""".stripMargin),
+
+    // like p27 but warm-started from the persisted store: did%10==1
+    // (data-before-template) NOW decodes — the snapshot's templates apply
+    // from the start of the run; only the never-defined did%10==5 stays
+    // undecodable
+    "p32_netflow_v9_resume" -> withCtes(V2Cte)(
+      """SELECT
+        |  cast((did//10) % 4294967296 AS bigint) AS exporter_id,
+        |  cast(CASE WHEN did % 10 = 5 THEN 256 + (did//10) % 100 + 101
+        |            WHEN did % 10 = 3 THEN 256 + (did//10) % 100 + 200
+        |            WHEN did % 10 = 9 THEN 256 + (did//10) % 100 + 300
+        |            ELSE 256 + (did//10) % 100 END AS int) AS template_id,
+        |  CASE WHEN did % 10 = 1 THEN did + 8 ELSE did + 10 END AS seq,
+        |  cast(CASE WHEN did % 10 = 9 THEN 0 ELSE j END AS int) AS rec_idx,
+        |  did % 10 <> 5 AS decoded,
+        |  CASE WHEN did % 10 = 5 THEN NULL ELSE ((did % 1000003) * 2654435761 + j * 7919) % 4294967296 END AS srcaddr,
+        |  CASE WHEN did % 10 = 5 THEN NULL ELSE 1024 + (did + j) % 60000 END AS src_port,
+        |  CASE WHEN did % 10 = 5 THEN NULL ELSE 443 END AS dst_port,
+        |  CASE WHEN did % 10 = 5 THEN NULL ELSE (did + j) % 4294967296 END AS in_bytes
+        |FROM (SELECT *, unnest(range(CASE WHEN did % 10 = 9 THEN 7
+        |                             WHEN did % 10 IN (5, 7) THEN 1
+        |                             ELSE 1 + did % 2 END)) AS j
+        |      FROM v2 WHERE did % 10 <> 0)""".stripMargin),
 
     "p20_tuple_list" -> withCtes(V2Cte)(
       """SELECT doc_id, cast(0 AS int) AS idx,

@@ -229,6 +229,125 @@ object BinaryDecode {
         "field_types", "scope_cnt", "payload", "max_recs", "truncated")
   }
 
+  /** One framed v9 flowset element from the typed walk — the same row shape
+    * [[netflowV9Recs]] emits, so the template-stateful decode stage consumes
+    * either form.
+    */
+  final case class V9Rec(doc_id: String, exporter: String, template_id: Int,
+                         seq: Long, is_template: Boolean, field_types: Seq[Int],
+                         widths: Seq[Int], scope_cnt: Int, payload: String,
+                         max_recs: Int, truncated: Boolean)
+
+  /** NetFlow v9 wire framing via a TYPED per-packet walk: iterates every
+    * flowset to the end of the buffer and every back-to-back template entry
+    * to the end of its flowset — no expression-depth bound, so packets
+    * carrying arbitrarily many flowsets/templates decode fully (real
+    * exporters bundle 10-30 flowsets per packet). Packets parallelize
+    * across the cluster; within a packet the wire format is sequential —
+    * the same shape as [[pcapPackets]]. The bounded Catalyst form
+    * ([[netflowV9Recs]]) remains for expression-only pipelines; an sbt spec
+    * asserts the two agree wherever the bounded walk is complete.
+    *
+    * Two DOCUMENTED divergences from the reference, both in favor of the
+    * RFC-3954 semantics the reference's own TODO aspires to
+    * ("Parse multiple(template set + data set) in a packet",
+    * packet.rs:464):
+    *  1. The reference decodes exactly ONE flowset per packet
+    *     (netflow.rs:80-140 reads a single flowset header after the packet
+    *     header); this walk decodes them all.
+    *  2. The reference's template-entry loops guard on
+    *     `remained + 4 < flowset_length` where `remained` is the WHOLE
+    *     packet buffer (packet.rs:336-340,363-367) and its options loop
+    *     consumes `flowset_length - (10 + field_count·4)` padding per entry
+    *     (packet.rs:394-397) — so a trailing template flowset registers
+    *     only its FIRST entry. This walk registers every entry that fits
+    *     inside the flowset body (the RFC's back-to-back layout). Like the
+    *     IHL option-skip fix above, the intended semantics are implemented
+    *     and the quirk is recorded here rather than reproduced.
+    *
+    * Reserved flowset ids 2..255 are skipped (the reference warns and
+    * counts them — netflow.rs:116-122). Truncated trailing bytes that
+    * cannot hold a flowset header end the walk; `truncated` is always
+    * false here (nothing is ever cut short by a bound), kept for schema
+    * parity with the Catalyst form's loss accounting.
+    */
+  def v9FlowsetWalk(packets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import packets.sparkSession.implicits._
+    packets.select(col("doc_id").cast("string"), col("packet"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (docId, c) =>
+        def u16(o: Int): Int = ((c(o) & 0xff) << 8) | (c(o + 1) & 0xff)
+        def u32(o: Int): Long =
+          ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
+            ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
+        if (c.length < 20 || u16(0) != 9) Iterator.empty
+        else {
+          val maxRecs = u16(2)
+          val seq = u32(12)
+          val exporter = u32(16).toString
+          val out = Seq.newBuilder[V9Rec]
+          val hex = "0123456789abcdef"
+          def hexOf(from: Int, until: Int): String = {
+            val sb = new java.lang.StringBuilder((until - from) * 2)
+            var i = from
+            while (i < until) {
+              sb.append(hex.charAt((c(i) & 0xf0) >> 4)).append(hex.charAt(c(i) & 0x0f))
+              i += 1
+            }
+            sb.toString
+          }
+          var o = 20
+          var halt = false
+          while (!halt && o + 4 <= c.length) {
+            val fsId = u16(o)
+            val fsLen = u16(o + 2)
+            if (fsLen < 4 || o + fsLen > c.length) halt = true // malformed/cut header → stop
+            else {
+              val end = o + fsLen
+              if (fsId == 0) {                      // regular template entries
+                var t = o + 4
+                while (t + 4 <= end) {
+                  val tid = u16(t)
+                  val cnt = u16(t + 2)
+                  if (t + 4 + cnt * 4 > end) t = end // tail that can't fit an entry = padding
+                  else {
+                    val types = (0 until cnt).map(j => u16(t + 4 + j * 4))
+                    val widths = (0 until cnt).map(j => u16(t + 6 + j * 4) * 2)
+                    out += V9Rec(docId, exporter, tid, seq, is_template = true,
+                      types, widths, 0, "", maxRecs, truncated = false)
+                    t += 4 + cnt * 4
+                  }
+                }
+              } else if (fsId == 1) {               // options-template entries
+                var t = o + 4
+                while (t + 6 <= end) {
+                  val tid = u16(t)
+                  val scopeLen = u16(t + 2)
+                  val optLen = u16(t + 4)
+                  if (t + 6 + scopeLen + optLen > end) t = end
+                  else {
+                    val n = (scopeLen + optLen) / 4
+                    val types = (0 until n).map(j => u16(t + 6 + j * 4))
+                    val widths = (0 until n).map(j => u16(t + 8 + j * 4) * 2)
+                    out += V9Rec(docId, exporter, tid, seq, is_template = true,
+                      types, widths, scopeLen / 4, "", maxRecs, truncated = false)
+                    t += 6 + scopeLen + optLen
+                  }
+                }
+              } else if (fsId >= 256) {             // data flowset
+                out += V9Rec(docId, exporter, fsId, seq, is_template = false,
+                  Seq.empty, Seq.empty, 0, hexOf(o + 4, end), maxRecs,
+                  truncated = false)
+              }                                      // 2..255 reserved → skip
+              o = end
+            }
+          }
+          out.result().iterator
+        }
+      }.toDF("doc_id", "exporter", "template_id", "seq", "is_template",
+        "field_types", "widths", "scope_cnt", "payload", "max_recs", "truncated")
+  }
+
   /** Little-endian unsigned int at a dynamic 1-based offset (pcap headers
     * are LE while network payloads are BE).
     */
@@ -499,6 +618,11 @@ object BinaryDecode {
       .when(tpe === 89,
         coalesce(element_at(typedLit(V9FwdStatus), v), v.cast("string")))
       .when(tpe.isin(V9TextTypes: _*), v9TextString(raw))
-      .otherwise(when(length(raw).isin(2, 4, 8, 16), v.cast("string"))
+      // 8-byte counters are u64 on the wire (the stateful decode parses
+      // them with parseUnsignedLong): render from the raw hex via
+      // conv(·,16,10), which is unsigned — casting the signed Long would
+      // print a legal high-bit counter as negative
+      .otherwise(when(length(raw) === 16, conv(raw, 16, 10))
+        .when(length(raw).isin(2, 4, 8), v.cast("string"))
         .otherwise(lit("0")))
 }

@@ -381,8 +381,9 @@ object Tables {
     val isTpl = did % 10 === 0
     val isOrphan = did % 10 === 5
     val isBounded = did % 10 === 7
+    val isMulti = did % 10 === 9                // 8-flowset packet (walk case)
     val rc = lit(1L) + did % 2L                 // records actually in payload
-    val hc = when(isTpl || isBounded, 1L).otherwise(rc) // header count
+    val hc = when(isTpl || isBounded, 1L).when(isMulti, 7L).otherwise(rc)
     // +10 keeps the data-before-template sequence unsigned for did=1
     // (u32 wire field; -1 would wrap and sort after its template)
     val seq = when(did % 10 === 1, did + 8).otherwise(did + 10)
@@ -404,15 +405,26 @@ object Tables {
       hexN(lit(1L), 4), hexN(lit(4L), 4))    // InBytes, 4
     val tplFs = concat(hexN(lit(0L), 4), hexN(lit(44L), 4),
       tplEntry(tid), tplEntry(tid + 200L))
-    def rec(j: Int): Column = when(lit(j) < rc, concat(
+    def recHex(j: Int): Column = concat(
       hexN((did % 1000003L * 2654435761L + j * 7919L) % 4294967296L, 8),
       hexN(lit(1024L) + (did + j) % 60000L, 4),
       hexN(lit(443L), 4),
-      hexN((did + j) % 4294967296L, 8))).otherwise(lit(""))
+      hexN((did + j) % 4294967296L, 8))
+    def rec(j: Int): Column = when(lit(j) < rc, recHex(j)).otherwise(lit(""))
     val dataId = when(isOrphan, tid + 101L)
       .when(did % 10 === 3, tid + 200L).otherwise(tid)
     val dataFs = concat(hexN(dataId, 4), hexN(lit(4L) + rc * 12L, 4), rec(0), rec(1))
-    val pkt = concat(header, when(isTpl, tplFs).otherwise(dataFs))
+    // did%10==9: EIGHT flowsets in one packet — a self-contained template
+    // flowset defining `tid+300` followed by 7 single-record data flowsets
+    // referencing it (header count = 7). The reference parses only the
+    // first flowset of a packet (its TODO, packet.rs:464); the typed walk
+    // decodes all 8 with zero truncation — the walk's oracle-checked case.
+    val multiBody = concat(
+      (Seq(concat(hexN(lit(0L), 4), hexN(lit(24L), 4), tplEntry(tid + 300L))) ++
+        (0 until 7).map(j =>
+          concat(hexN(tid + 300L, 4), hexN(lit(16L), 4), recHex(j)))): _*)
+    val pkt = concat(header,
+      when(isTpl, tplFs).when(isMulti, multiBody).otherwise(dataFs))
     documents(spark, dir).select(
       concat(lit("doc-"), lpad(did.cast("string"), 12, "0")).as("doc_id"),
       did.as("did"),

@@ -73,6 +73,22 @@ object TemplateStore {
     Files.writeString(tmp, ver.toString)
     Files.move(tmp, currentPath(base), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // superseded snapshots are garbage once the pointer has swapped —
+    // without this the store directory grows by one snapshot per run. The
+    // prune lags ONE version (keep current + previous): a decode that
+    // warm-started from the previous snapshot may still be lazily reading
+    // its parquet while this save commits the next one
+    val dir = Paths.get(base).toFile
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("ver=") &&
+        f.getName.stripPrefix("ver=").toLongOption.exists(_ < ver - 1)) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f)
+      }
+    }
     ver
   }
 
@@ -83,8 +99,12 @@ object TemplateStore {
     * recompute the decode.
     */
   def decodeBatchResumable(ds: Dataset[NfRec], base: String): Dataset[Templates.NfDecoded] = {
+    implicit val enc = Encoders.product[NfRec]
     val warm = load(ds.sparkSession, base)
-    val out = Templates.decodeBatch(warm.union(ds))
+    // union BY NAME: the parquet-loaded state's column order is the write
+    // order, not necessarily the caller's select order — positional union
+    // would silently cross-wire fields
+    val out = Templates.decodeBatch(warm.toDF().unionByName(ds.toDF()).as[NfRec])
     save(ds, base)
     out
   }

@@ -99,6 +99,58 @@ class TemplatesSpec extends SparkSpec {
     assert(!out.contains((4L, 1)), "record loop must stop at the header count")
   }
 
+  test("typed walk ≡ Catalyst framing wherever the bounded form is complete") {
+    import org.apache.spark.sql.functions._
+    // the four wire packets of the previous test — all within the Catalyst
+    // form's maxFlowsets/maxTpls bounds, so the two framings must agree row
+    // for row
+    val pktA = "0009" + "0001" + "00000000" + "655fa1c0" + "00000001" + "0000002a" +
+      "0000" + "0010" + "0101" + "0002" + "0008" + "0004" + "0007" + "0002"
+    val pktB = "0009" + "0002" + "00000000" + "655fa1c0" + "00000002" + "0000002a" +
+      "0101" + "0010" + "0a010203" + "1f90" + "0a010204" + "1f91"
+    val pktC = "0009" + "0001" + "00000000" + "655fa1c0" + "00000003" + "0000002a" +
+      "0000" + "000c" + "0102" + "0001" + "0001" + "0002" +
+      "0102" + "0006" + "beef"
+    val pktD = "0009" + "0001" + "00000000" + "655fa1c0" + "00000004" + "0000002a" +
+      "0101" + "0010" + "0a010205" + "1f92" + "0a010206" + "1f93"
+    val packets = Seq(pktA, pktB, pktC, pktD).zipWithIndex
+      .map { case (h, i) => (s"d$i", h) }.toDF("doc_id", "h")
+      .select(col("doc_id"), unhex(col("h")).as("packet"))
+    val cols = Seq("exporter", "template_id", "seq", "is_template",
+      "field_types", "widths", "scope_cnt", "payload", "max_recs")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val walk = canon(graft.operators.BinaryDecode.v9FlowsetWalk(packets))
+    val cat = canon(graft.operators.BinaryDecode.netflowV9Recs(packets))
+    assert(walk === cat)
+  }
+
+  test("typed walk: an 8-flowset packet (template + 7 data) decodes fully, no truncation") {
+    import org.apache.spark.sql.functions._
+    // one packet: header (count=7) + template flowset (260: one u16 field)
+    // + 7 single-record data flowsets — beyond the Catalyst form's
+    // maxFlowsets=3 bound, decoded completely by the walk
+    val tplFs = "0000" + "000c" + "0104" + "0001" + "0007" + "0002"
+    val dataFs = (0 until 7).map(j => "0104" + "0006" + f"00${0xa0 + j}%02x").mkString
+    val pkt = "0009" + "0007" + "00000000" + "655fa1c0" + "00000005" + "0000002a" +
+      tplFs + dataFs
+    val packets = Seq(("d0", pkt)).toDF("doc_id", "h")
+      .select(col("doc_id"), unhex(col("h")).as("packet"))
+    val framed = graft.operators.BinaryDecode.v9FlowsetWalk(packets)
+    assert(framed.where(col("truncated")).count() === 0L)
+    assert(framed.where(col("is_template")).count() === 1L)
+    val recs = framed
+      .select(col("exporter"), col("template_id").as("templateId"), col("seq"),
+        col("is_template").as("isTemplate"), col("widths"), col("payload"),
+        col("max_recs").as("maxRecs"), col("field_types").as("types"),
+        col("scope_cnt").as("scopeCnt"))
+      .as[NfRec]
+    val out = Templates.decodeBatch(recs).collect()
+    assert(out.length === 7 && out.forall(_.decoded))
+    assert(out.map(_.fields.head).sorted.toSeq === (0 until 7).map(j => 0xa0L + j))
+  }
+
   test("v9 options template (flowset id 1): scope+option pairs define the widths") {
     import org.apache.spark.sql.functions._
     // options template 259: scope (System/2B) = 1 pair, options (InBytes/4B)

@@ -366,8 +366,13 @@ object BinaryDecode {
     * magics the reference's pcap library (libpcap) accepts — microsecond
     * a1b2c3d4 and nanosecond a1b23c4d, each in either byte order (the
     * writer's endianness flips every header field) — and requires
-    * linktype 1 = Ethernet (netflow.rs:59). Output: one row per captured
-    * packet: (path, cap_sec, data bytes).
+    * linktype 1 = Ethernet (netflow.rs:59). pcapng captures (the other
+    * on-disk format libpcap reads) are handled by a block walk: SHB sets
+    * the section byte order (and may recur mid-file — multi-section
+    * captures reset it), IDBs register interface link types, and each EPB
+    * whose interface is Ethernet yields its packet data with cap_sec from
+    * the 64-bit timestamp at the default microsecond resolution. Output:
+    * one row per captured packet: (path, cap_sec, data bytes).
     */
   def pcapPackets(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import files.sparkSession.implicits._
@@ -378,28 +383,82 @@ object BinaryDecode {
             ((c(o + 2) & 0xffL) << 16) | ((c(o + 3) & 0xffL) << 24)
           else ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
             ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
-        // magic → file byte order (sub-second resolution µs vs ns does not
-        // matter here: only ts_sec is consumed)
-        val leOpt =
-          if (c.length < 24) None
-          else u4(0, le = true) match {
-            case 0xa1b2c3d4L | 0xa1b23c4dL => Some(true)   // written LE
-            case _ => u4(0, le = false) match {
-              case 0xa1b2c3d4L | 0xa1b23c4dL => Some(false) // written BE
-              case _ => None
+        def u2(o: Int, le: Boolean): Int =
+          if (le) (c(o) & 0xff) | ((c(o + 1) & 0xff) << 8)
+          else ((c(o) & 0xff) << 8) | (c(o + 1) & 0xff)
+        val isPcapng = c.length >= 12 &&
+          (c(0) & 0xff) == 0x0a && (c(1) & 0xff) == 0x0d &&
+          (c(2) & 0xff) == 0x0d && (c(3) & 0xff) == 0x0a
+        if (isPcapng) {
+          // pcapng block walk: SHB (type 0x0a0d0d0a, byte-order magic at
+          // +8), IDB (0x01: linktype at +8), EPB (0x06: interface id,
+          // ts high/low, captured len, data at +28). Unknown block types
+          // are skipped by their total length; a malformed length ends the
+          // walk (decode-what-fits, like the reference's packet loop).
+          val out = Seq.newBuilder[(String, Long, Array[Byte])]
+          val linkTypes = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var le = true
+          var valid = false
+          var o = 0
+          var halt = false
+          while (!halt && o + 12 <= c.length) {
+            val isShb = (c(o) & 0xff) == 0x0a && (c(o + 1) & 0xff) == 0x0d &&
+              (c(o + 2) & 0xff) == 0x0d && (c(o + 3) & 0xff) == 0x0a
+            if (isShb) {
+              // section header resets byte order + interface table
+              if (u4(o + 8, le = true) == 0x1a2b3c4dL) { le = true; valid = true }
+              else if (u4(o + 8, le = false) == 0x1a2b3c4dL) { le = false; valid = true }
+              else { valid = false; halt = true }
+              linkTypes.clear()
+            }
+            if (!halt) {
+              val blen = u4(o + 4, le)
+              if (!valid || blen < 12 || blen % 4 != 0 || o + blen > c.length) halt = true
+              else {
+                u4(o, le) match {
+                  case 1L if o + 10 <= c.length =>      // IDB
+                    linkTypes += u2(o + 8, le)
+                  case 6L if o + 28 <= c.length =>      // EPB
+                    val ifId = u4(o + 8, le).toInt
+                    if (ifId >= 0 && ifId < linkTypes.length && linkTypes(ifId) == 1) {
+                      val ts = (u4(o + 12, le) << 32) | u4(o + 16, le)
+                      val capLen = u4(o + 20, le).toInt
+                      val data = c.slice(o + 28,
+                        math.min(o + 28 + capLen.max(0), (o + blen).toInt))
+                      // default if_tsresol: microseconds
+                      out += ((path, ts / 1000000L, data))
+                    }
+                  case _ => ()                          // SHB/options/unknown → skip
+                }
+                o += blen.toInt
+              }
             }
           }
-        leOpt.filter(le => u4(20, le) == 1L) match {
-          case None => Iterator.empty
-          case Some(le) => new Iterator[(String, Long, Array[Byte])] {
-            private var o = 24
-            def hasNext: Boolean = o + 16 <= c.length
-            def next(): (String, Long, Array[Byte]) = {
-              val capSec = u4(o, le)
-              val incl = u4(o + 8, le).toInt
-              val data = c.slice(o + 16, math.min(o + 16 + incl.max(0), c.length))
-              o += 16 + incl.max(0)
-              (path, capSec, data)
+          out.result().iterator
+        } else {
+          // classic libpcap: magic → file byte order (sub-second resolution
+          // µs vs ns does not matter here: only ts_sec is consumed)
+          val leOpt =
+            if (c.length < 24) None
+            else u4(0, le = true) match {
+              case 0xa1b2c3d4L | 0xa1b23c4dL => Some(true)   // written LE
+              case _ => u4(0, le = false) match {
+                case 0xa1b2c3d4L | 0xa1b23c4dL => Some(false) // written BE
+                case _ => None
+              }
+            }
+          leOpt.filter(le => u4(20, le) == 1L) match {
+            case None => Iterator.empty
+            case Some(le) => new Iterator[(String, Long, Array[Byte])] {
+              private var o = 24
+              def hasNext: Boolean = o + 16 <= c.length
+              def next(): (String, Long, Array[Byte]) = {
+                val capSec = u4(o, le)
+                val incl = u4(o + 8, le).toInt
+                val data = c.slice(o + 16, math.min(o + 16 + incl.max(0), c.length))
+                o += 16 + incl.max(0)
+                (path, capSec, data)
+              }
             }
           }
         }

@@ -32,11 +32,27 @@ object Pcap {
   val GlobalHeaderHex: String =
     "d4c3b2a1" + "0200" + "0400" + "00000000" + "00000000" + "ffff0000" + "01000000"
 
+  /** pcapng file prologue (little-endian): SHB (byte-order magic
+    * 0x1A2B3C4D, v1.0, unknown section length) + one Ethernet IDB — the
+    * modern capture format libpcap also reads; every 4th staged file uses
+    * it so the same scan exercises both container walks.
+    */
+  val PcapngHeaderHex: String =
+    "0a0d0d0a" + "1c000000" + "4d3c2b1a" + "0100" + "0000" +
+      "ffffffffffffffff" + "1c000000" +                       // SHB (28 B)
+      "01000000" + "14000000" + "0100" + "0000" + "00000000" + "14000000" // IDB linktype 1
+
   /** One captured packet (pcap record header + eth/ip/udp + a real-wire
     * NetFlow v5 payload: 24-byte header + one 48-byte record —
     * packet.rs:265-288,402-463), as hex, for doc `did`.
     */
-  def packetHex(did: Column): Column = {
+  def packetHex(did: Column): Column = packetHex(did, pcapng = false)
+
+  /** `pcapng = true` wraps the same captured bytes in an EPB (interface 0,
+    * 64-bit µs timestamp, captured-len padding to 4) instead of a classic
+    * record header.
+    */
+  def packetHex(did: Column, pcapng: Boolean): Column = {
     val secs = lit(1700000000L) + did % 1000L
     val nf = concat(Tables.nfV5HeaderHex(did, lit(1L)), Tables.nfV5RecordHex(did, 0))
     val dstPort = when(did % 13 === 0, lit(9999L)).otherwise(lit(2055L))
@@ -61,8 +77,20 @@ object Pcap {
     // eth 14 + ip 20 + udp 8 + nf 72 = 114, plus the encapsulation extras
     val incl = lit(114L) + when(did % 7 === 1, 4L).when(did % 7 === 2, 4L)
       .when(did % 7 === 3, 14L).otherwise(0L)
-    val recHdr = concat(leHex4(secs), leHex4(lit(0L)), leHex4(incl), leHex4(incl))
-    concat(recHdr, l2l3, udp, nf)
+    val body = concat(l2l3, udp, nf)
+    if (!pcapng) {
+      val recHdr = concat(leHex4(secs), leHex4(lit(0L)), leHex4(incl), leHex4(incl))
+      concat(recHdr, body)
+    } else {
+      val pad = (lit(4L) - incl % 4L) % 4L
+      val blockLen = lit(32L) + incl + pad
+      val ts = secs * 1000000L // µs, the default if_tsresol
+      concat(
+        lit("06000000"), leHex4(blockLen), leHex4(lit(0L)),
+        leHex4(idiv(ts, 4294967296L)), leHex4(ts % 4294967296L),
+        leHex4(incl), leHex4(incl), body,
+        repeat(lit("00"), pad.cast("int")), leHex4(blockLen))
+    }
   }
 
   /** Stage .pcap files (64 packets per file — deep enough that the typed
@@ -78,20 +106,27 @@ object Pcap {
     // layout change invalidates stale fixtures; `_`-prefixed files are
     // hidden from Spark's file index, like _SUCCESS)
     val nDocs = Tables.documents(spark, sfDir).count()
-    val spec = s"pcap-v5:${(nDocs + 63) / 64}"
+    val spec = s"pcap-v6:${(nDocs + 63) / 64}"
     val marker = new java.io.File(dir, "_spec.txt")
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == spec)
       return dir.getPath
     dir.listFiles().foreach(f => if (f.getName.endsWith(".pcap")) f.delete())
     val did = col("doc_id")
+    // every 4th file is staged as pcapng (SHB + IDB + EPBs); the rest as
+    // classic libpcap — one scan, both container walks oracle-checked
+    val isNg = idiv(did, 64L) % 4L === 3L
     val perFile = Tables.documents(spark, sfDir)
-      .select(idiv(did, 64L).as("fid"), did.as("did"), packetHex(did).as("ph"))
+      .select(idiv(did, 64L).as("fid"), did.as("did"),
+        when(isNg, packetHex(did, pcapng = true))
+          .otherwise(packetHex(did)).as("ph"))
       .groupBy("fid")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("did"), col("ph")))),
         s => s.getField("ph")), "").as("body"))
-      .select(col("fid"), concat(lit(GlobalHeaderHex), col("body")).as("fhex"))
+      .select(col("fid"),
+        concat(when(col("fid") % 4 === 3, lit(PcapngHeaderHex))
+          .otherwise(lit(GlobalHeaderHex)), col("body")).as("fhex"))
     perFile.collect().foreach { r =>
       val bytes = r.getString(1).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
       java.nio.file.Files.write(

@@ -78,7 +78,45 @@ class PcapPeelSpec extends SparkSpec {
     assert(peel(file("a1b2c3d4", be = true)) === Seq("deadbeef"))   // BE µs
     assert(peel(file("4d3cb2a1", be = false)) === Seq("deadbeef"))  // LE ns
     assert(peel(file("a1b23c4d", be = true)) === Seq("deadbeef"))   // BE ns
-    assert(peel(file("0a0d0d0a", be = false)) === Seq())            // pcapng → skip
+    // pcapng type bytes with a garbage SHB (no byte-order magic) → skip
+    assert(peel(file("0a0d0d0a", be = false)) === Seq())
+  }
+
+  test("pcapng: SHB/IDB/EPB walk yields the payloads; non-Ethernet interfaces skipped") {
+    def le4(v: Long): String =
+      f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+    def be4(v: Long): String = f"$v%08x"
+    def file(be: Boolean): Array[Byte] = {
+      def w(v: Long) = if (be) be4(v) else le4(v)
+      val shb = (if (be) "0a0d0d0a" else "0a0d0d0a") + w(28) +
+        (if (be) "1a2b3c4d" else "4d3c2b1a") +
+        (if (be) "00010000" else "01000000") + "ffffffffffffffff" + w(28)
+      def idb(link: Int) = w(1) + w(20) +
+        (if (be) f"$link%04x0000" else f"${link & 0xff}%02x${(link >> 8) & 0xff}%02x0000") +
+        w(0) + w(20)
+      val pkt = EthPlain + ipv4(5, 12) + udpAndPayload(2055)
+      val n = pkt.length / 2 // 54 bytes → pad 2
+      def epb(ifId: Int, tsSec: Long) = {
+        val pad = (4 - n % 4) % 4
+        val blen = 32 + n + pad
+        val ts = tsSec * 1000000L
+        w(6) + w(blen) + w(ifId) + w(ts >> 32) + w(ts & 0xffffffffL) +
+          w(n) + w(n) + pkt + "00" * pad + w(blen)
+      }
+      // interface 0 = Ethernet, interface 1 = linktype 101 (raw IP): the
+      // EPB on interface 1 must be skipped
+      (shb + idb(1) + idb(101) + epb(0, 1700000123L) + epb(1, 1700000124L) +
+        epb(0, 1700000125L)).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    assert(peel(file(be = false)) === Seq("deadbeef", "deadbeef"))
+    assert(peel(file(be = true)) === Seq("deadbeef", "deadbeef"))
+    // cap_sec comes from the 64-bit µs timestamp
+    val dir = Files.createTempDirectory("graft-pcapng-ts")
+    Files.write(Paths.get(dir.toString, "t.pcapng"), file(be = false))
+    val secs = BinaryDecode.pcapPackets(
+      spark.read.format("binaryFile").load(dir.toString))
+      .select("cap_sec").collect().map(_.getLong(0)).sorted.toSeq
+    assert(secs === Seq(1700000123L, 1700000125L))
   }
 
   test("non-cflow ports, non-IPv4 ethertypes, and non-UDP protocols are dropped") {

@@ -423,8 +423,11 @@ object BinaryDecode {
                     if (ifId >= 0 && ifId < linkTypes.length && linkTypes(ifId) == 1) {
                       val ts = (u4(o + 12, le) << 32) | u4(o + 16, le)
                       val capLen = u4(o + 20, le).toInt
+                      // clamp a lying capLen to the block BODY — the last 4
+                      // bytes of every block are its trailing length copy,
+                      // never packet data
                       val data = c.slice(o + 28,
-                        math.min(o + 28 + capLen.max(0), (o + blen).toInt))
+                        math.min(o + 28 + capLen.max(0), (o + blen).toInt - 4))
                       // default if_tsresol: microseconds
                       out += ((path, ts / 1000000L, data))
                     }

@@ -208,7 +208,10 @@ object QueriesPipeline {
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name", "r_name").agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100).cast("long").as("revenue_cents"),
+          // per-ROW integer cents before the sum (same as q04): rounding a
+          // parallel double sum is addition-order-dependent — the 10x gate
+          // caught this group sum off by one cent
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")).as("revenue_cents"),
           count(lit(1)).as("cnt"))),
 
     "q06_rollup" -> ((s, dir) =>
@@ -898,7 +901,7 @@ object QueriesPipeline {
 
     "q05_broadcast" ->
       """SELECT n_name, r_name,
-        |  cast(round(sum(l_extendedprice*(1-l_discount))*100) AS bigint) AS revenue_cents,
+        |  sum(cast(round(l_extendedprice*(1-l_discount)*100) AS bigint)) AS revenue_cents,
         |  count(*) AS cnt
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey

@@ -379,6 +379,16 @@ object QueriesOps {
         Tables.tokens(s, dir).select(col("source"), explode(col("tokens")).as("tok")),
         "source", "tok", m = 64)),
 
+    // Bloom-filter decontamination: eval shingles inserted into a 2^20-bit
+    // k=3 filter, training docs quarantined at >= 60 bloom-hit shingles —
+    // the fixed-size O(m) filter variant of d10 (superset by construction:
+    // no false negatives). The shingle rows feed both the filter build and
+    // the probe side — materialize once, like d10
+    "s04_bloom_decontam" -> ((s, dir) =>
+      graft.ops.Sketches.bloomDecontaminate(
+        shingleRows(s, dir).localCheckpoint(true), col("sid") % 89 === 7,
+        m = 1 << 20, k = 3, minHits = 60)),
+
     // data selection under a token budget (60% of corpus tokens): exact
     // above the quality threshold band, proportional hash cut inside it —
     // the only window runs over the <=101-row quality-band aggregate
@@ -786,6 +796,25 @@ object QueriesOps {
            |    FROM regs GROUP BY source)))""".stripMargin)(
         """SELECT e.source, e.hll_est, x.exact FROM est e
           |JOIN (SELECT source, count(DISTINCT tok) AS exact FROM tv GROUP BY 1) x USING (source)""".stripMargin)
+    },
+
+    "s04_bloom_decontam" -> {
+      val P = 2147483647L
+      def a(j: Int) = (2654435761L * (j + 1)) % P
+      def b(j: Int) = (1013904223L * (j + 1)) % P
+      // identical position arithmetic to Sketches.h(j, tok) % 2^20
+      def p(j: Int, v: String) = s"((${a(j)}*(cast($v AS bigint) % $P) + ${b(j)}) % $P) % ${1 << 20}"
+      val evPos = (0 until 3).map(j => s"SELECT ${p(j, "g")} AS p FROM evs").mkString(" UNION ALL ")
+      val prPos = (0 until 3).map(j =>
+        s"SELECT sid, g, $j AS j, ${p(j, "g")} AS p FROM trs").mkString(" UNION ALL ")
+      withCtes(ShingCte,
+        "evs AS (SELECT unnest(stoks) AS g FROM shingd WHERE sid % 89 = 7)",
+        s"pos AS (SELECT DISTINCT p FROM ($evPos))",
+        "trs AS (SELECT sid, unnest(stoks) AS g FROM shingd WHERE sid % 89 <> 7)",
+        s"pr AS ($prPos)",
+        """ht AS (SELECT sid, g FROM pr JOIN pos USING (p)
+          |  GROUP BY sid, g HAVING count(*) = 3)""".stripMargin)(
+        "SELECT sid AS did, count(*) AS bloom_hits FROM ht GROUP BY 1 HAVING count(*) >= 60")
     },
 
     "d13_minhash_est" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(

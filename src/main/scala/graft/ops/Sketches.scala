@@ -89,4 +89,47 @@ object Sketches {
     val exact = values.groupBy(groupCol).agg(countDistinct(v).as("exact"))
     est.join(exact, groupCol).select(col(groupCol), col("hll_est"), col("exact"))
   }
+
+  /** Bloom-filter decontamination — the fixed-size-filter variant of
+    * `CurationOps.decontaminate`: eval-set shingles are inserted into an
+    * m-bit Bloom filter (k fixed LCG hashes), and a training shingle "hits"
+    * iff ALL k of its bit positions are set. Output: training docs whose
+    * bloom-hit shingle count reaches `minHits` (a deterministic SUPERSET of
+    * the exact overlap ≥ minHits set — Bloom filters have no false
+    * negatives; false positives arrive at the documented (1-e^(-kn/m))^k
+    * rate and are acceptable for a contamination QUARANTINE list).
+    *
+    * Shape at 100 TB: the filter is O(m) REGARDLESS of eval-set size — here
+    * represented as the distinct set of SET bit positions (≤ m rows, the
+    * oracle-checkable twin of an m-bit bitmap; a production variant packs
+    * them into m/64 longs), built with one map-side-combined aggregate over
+    * the (tiny) eval side and broadcast. The corpus side is one codegen'd
+    * explode (k rows per distinct shingle) + broadcast-hash probe + two
+    * map-side-combined aggregates — the corpus never shuffles on the
+    * shingle key and never joins eval rows, only filter bits. Everything is
+    * integer arithmetic on fixed hashes: DuckDB reproduces the filter and
+    * the hit set bit-for-bit.
+    *
+    * `rows` must be DISTINCT (sid, tok) shingle rows (dedup=true), like the
+    * exact decontaminate.
+    */
+  def bloomDecontaminate(rows: DataFrame, evalPred: Column, m: Int, k: Int,
+                         minHits: Int): DataFrame = {
+    val tokL = col("tok").cast("long")
+    val bits = rows.where(evalPred)
+      .select(explode(array((0 until k).map(j => h(j, tokL) % m): _*)).as("p"))
+      .distinct()
+    val probes = rows.where(!evalPred)
+      .select(col("sid"), col("tok"), explode(array((0 until k).map(j =>
+        struct(lit(j).as("j"), (h(j, tokL) % m).as("p"))): _*)).as("c"))
+      .select(col("sid"), col("tok"), col("c.p").as("p"))
+    probes.join(broadcast(bits), "p")
+      // each of the k probe rows matches at most one distinct filter
+      // position, so matched-row count == k ⇔ every position is set
+      .groupBy("sid", "tok").agg(count(lit(1)).as("mt"))
+      .where(col("mt") === k)
+      .groupBy("sid").agg(count(lit(1)).as("bloom_hits"))
+      .where(col("bloom_hits") >= minHits)
+      .select(col("sid").as("did"), col("bloom_hits"))
+  }
 }

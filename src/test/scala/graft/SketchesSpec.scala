@@ -26,6 +26,32 @@ class SketchesSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(2) > r.getLong(1)))
   }
 
+  test("bloom decontamination: superset of exact, hits >= exact overlap per doc") {
+    import graft.ops.{CurationOps, DedupOps}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val rows = DedupOps.shingleRows(docs, "doc_id", "text", 8).localCheckpoint(true)
+    val evalPred = col("sid") % 89 === 7
+    val exact = CurationOps.decontaminate(rows, evalPred, minShared = 60)
+      .select(col("did"), col("eval_partners")).collect()
+      .map(r => r.getLong(0)).toSet
+    val bloom = Sketches.bloomDecontaminate(rows, evalPred, m = 1 << 20, k = 3,
+      minHits = 60).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // no false negatives: every exactly-contaminated doc is quarantined
+    // (exact partners >= 1 with >= 60 shared shingles implies >= 60 hits)
+    assert(exact.nonEmpty)
+    exact.foreach(d => assert(bloom.contains(d), s"bloom missed exact-contaminated $d"))
+    // hit counts are >= the doc's true distinct shared-shingle count with
+    // the eval UNION: spot-check via a direct overlap count
+    val trueShared = rows.where(!evalPred).join(
+        rows.where(evalPred).select(col("tok")).distinct(), "tok")
+      .groupBy("sid").agg(count(lit(1)).as("sh")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    bloom.foreach { case (d, hits) =>
+      assert(hits >= trueShared.getOrElse(d, 0L),
+        s"doc $d: bloom hits $hits < true shared ${trueShared.getOrElse(d, 0L)}")
+    }
+  }
+
   test("HLL estimate stays within 3x the theoretical error band per source") {
     val vals = Tables.tokens(spark, SfBig)
       .select(col("source"), explode(col("tokens")).as("tok"))

@@ -80,8 +80,11 @@ class PlanAuditSpec extends SparkSpec {
     }, "near-dup join must carry the id-block in its equi-key")
   }
 
-  test("d10 decontamination and t08 LM familiarity broadcast their small side") {
-    for (name <- Seq("d10_decontaminate", "t08_lm_familiarity")) {
+  test("d10 decontamination, t08 LM familiarity, s04 bloom broadcast their small side") {
+    // s04's bounded side is the bloom POSITION SET (≤ m rows at any eval
+    // size) — the corpus must probe it broadcast-side, never shuffle on
+    // the shingle key
+    for (name <- Seq("d10_decontaminate", "t08_lm_familiarity", "s04_bloom_decontam")) {
       val plan = SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"),
         s"$name must broadcast its bounded side (eval set / LM table):\n$plan")

@@ -399,6 +399,13 @@ object QueriesOps {
           TextOps.wordCount(col("text")).as("n_tok")),
         num = 6, den = 10)),
 
+    // length-grouped batch assembly: global (n_tok, doc_id) rank via the
+    // distributed prefix-sum (range partition + per-partition counts — no
+    // single-task global window), batches of 32 consecutive ranks,
+    // per-batch padding waste when padded to the batch max
+    "k11_len_batches" -> ((s, dir) =>
+      graft.ops.Packing.lengthBatches(Tables.tokens(s, dir), batchSize = 32)),
+
     // per-source token-distribution drift vs the corpus (integer-exact
     // total-variation distance) — the data-mix diagnostic
     "t10_source_drift" -> ((s, dir) =>
@@ -857,6 +864,14 @@ object QueriesOps {
         |    cast(sum(ct) AS bigint) AS cov, min(ns) AS ns, min(n) AS n
         |  FROM st JOIN gtok USING (tok) JOIN srctot USING (source) CROSS JOIN tot
         |  GROUP BY 1)""".stripMargin),
+
+    "k11_len_batches" -> withCtes(ToksCte,
+      """rk AS (SELECT n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS rk
+        |  FROM (SELECT doc_id, cast(len(tokens) AS int) AS n_tok FROM toks))""".stripMargin)(
+      """SELECT (rk-1)//32 AS batch_id, count(*) AS n_seqs, min(n_tok) AS min_tok,
+        |  max(n_tok) AS max_tok, cast(sum(n_tok) AS bigint) AS sum_tok,
+        |  max(n_tok)*count(*) - cast(sum(n_tok) AS bigint) AS pad_waste
+        |FROM rk GROUP BY 1""".stripMargin),
 
     "k10_token_budget" ->
       s"""WITH base AS (

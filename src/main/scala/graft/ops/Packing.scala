@@ -99,4 +99,47 @@ object Packing {
       .where(col("n_tok") === seqLen) // drop the trailing partial sequence
       .drop("n_tok")
   }
+
+  /** Length-grouped batch assembly: order sequences by (n_tok, doc_id),
+    * cut batches of `batchSize` consecutive ranks, and report each batch's
+    * padding waste when padded to its own max length — the data-prep step
+    * that decides how much compute dynamic batching saves over random
+    * batching (similar-length neighbors ⇒ near-zero pad).
+    *
+    * The global rank is the same distributed prefix-sum as
+    * [[withGlobalOffsets]] — a bare `row_number() over (order by ...)`
+    * would funnel the corpus through ONE task: range-partition + local
+    * sort gives the global order in parallel, per-partition ROW COUNTS
+    * (one long each) come to the driver, their scan-sum broadcasts back as
+    * per-partition base ranks, and each row's rank is base + local
+    * position. Ties cannot straddle reorderings: (n_tok, doc_id) is a
+    * total order.
+    *
+    * Output: (batch_id, n_seqs, min_tok, max_tok, sum_tok, pad_waste).
+    */
+  def lengthBatches(docs: DataFrame, batchSize: Int, parts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val ordered = docs.select("doc_id", "n_tok")
+      .repartitionByRange(p, col("n_tok"), col("doc_id"))
+      .sortWithinPartitions("n_tok", "doc_id")
+    val schema = StructType(ordered.schema.fields :+ StructField("rk", LongType, nullable = false))
+    val cnts = ordered.rdd
+      .mapPartitionsWithIndex { (pi, it) => Iterator((pi, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = cnts.scanLeft(0L)(_ + _)
+    val basesB = spark.sparkContext.broadcast(bases)
+    val ranked = ordered.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var rk = basesB.value(pi)
+      it.map { r => rk += 1; Row.fromSeq(r.toSeq :+ rk) }
+    }
+    spark.createDataFrame(ranked, schema)
+      .withColumn("batch_id", expr(s"(rk - 1) div $batchSize"))
+      .groupBy("batch_id").agg(
+        count(lit(1)).as("n_seqs"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_waste", col("max_tok") * col("n_seqs") - col("sum_tok"))
+  }
 }

@@ -41,4 +41,32 @@ class PackingSpec extends SparkSpec {
     // dropped tail is shorter than one sequence
     assert(flatDocs.length - flatPacked.length < L)
   }
+
+  test("length batches equal the single-window reference implementation (4 partitions)") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.tokens(spark, Sf).select("doc_id", "n_tok")
+    val B = 32
+    val got = Packing.lengthBatches(Tables.tokens(spark, Sf), B, parts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // reference: the naive global window (fine at spec scale, single-task
+    // at corpus scale — which is exactly why lengthBatches exists)
+    val w = Window.orderBy("n_tok", "doc_id")
+    val expect = toks.withColumn("rk", row_number().over(w))
+      .withColumn("batch_id", expr(s"(rk - 1) div $B"))
+      .groupBy("batch_id").agg(count(lit(1)).as("n_seqs"),
+        min("n_tok").as("min_tok"), max("n_tok").as("max_tok"),
+        sum("n_tok").as("sum_tok"))
+      .withColumn("pad_waste", col("max_tok") * col("n_seqs") - col("sum_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.toSeq === expect.toSeq)
+    // batches are genuinely length-homogeneous: median per-batch spread is
+    // tiny next to the global length range
+    val spreads = got.map(t => t._4 - t._3).sorted
+    val globalSpread = got.map(_._4).max - got.map(_._3).min
+    assert(spreads(spreads.length / 2) * 5 <= globalSpread,
+      s"median batch spread ${spreads(spreads.length / 2)} vs global $globalSpread")
+  }
 }

@@ -178,6 +178,14 @@ object QueriesOps {
         .select(col("q_id"), col("c_id"),
           round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
 
+    // binary sign codes (one long per vector, 32x less scan I/O than the
+    // f32 vectors), bit_count(xor) Hamming scan, <=33-bucket per-query
+    // threshold histogram, exact rerank of the top 1/5
+    "a05_ann_hamming" -> ((s, dir) =>
+      Ann.hammingRerankTopK(emb(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("q_id"), col("c_id"),
+          round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
+
     "t01_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("did"),
         TextOps.langIdHeuristic(col("text")).as("lang_pred"), col("lang"))),
@@ -619,6 +627,27 @@ object QueriesOps {
           |  FROM tb q CROSS JOIN masks
           |  JOIN tb c ON q.tbl = c.tbl AND xor(q.bkt, m) = c.bkt AND c.vec_id <> q.vec_id
           |  WHERE q.vec_id < 10)""".stripMargin)(RerankSql)
+    },
+
+    "a05_ann_hamming" -> {
+      val code = (0 until 32).map(j =>
+        s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      withCtes(EmbCte, SkCte,
+        s"cd AS (SELECT vec_id, $code AS code FROM sk)",
+        """hp AS (
+          |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          |    bit_count(xor(q.code, c.code)) AS ham
+          |  FROM cd q JOIN cd c ON c.vec_id <> q.vec_id
+          |  WHERE q.vec_id < 10)""".stripMargin,
+        """thr AS (SELECT q_id, min(ham) AS thr FROM (
+          |    SELECT q_id, ham,
+          |      sum(n) OVER (PARTITION BY q_id ORDER BY ham
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |      sum(n) OVER (PARTITION BY q_id) AS cnt
+          |    FROM (SELECT q_id, ham, count(*) AS n FROM hp GROUP BY 1, 2))
+          |  WHERE cum >= (cnt + 4) // 5 GROUP BY q_id)""".stripMargin,
+        """cand AS (SELECT q_id, c_id FROM hp JOIN thr USING (q_id)
+          |  WHERE ham <= thr)""".stripMargin)(RerankSql)
     },
 
     // twin of the two-pass threshold cut: same quantized-histogram →

@@ -219,6 +219,48 @@ object Ann {
     rerankExact(emb, pairs, k)
   }
 
+  /** Binary sign-code + Hamming rerank — the memory-optimal scale path:
+    * each vector compresses to ONE long of sign bits from the shared
+    * integer projections (8 bytes vs 256 bytes of f32 — 32×), the corpus
+    * scan is `bit_count(xor)` per pair (a single fused instruction per
+    * word on real hardware; flat codegen here), and per-query candidate
+    * selection needs NO sort at all: Hamming over `bits` bits takes only
+    * bits+1 distinct values, so the per-query threshold histogram is ≤ 33
+    * rows at ANY corpus size — the a04 bounded-histogram construction in
+    * its smallest possible form. Top num/den fraction by Hamming asc →
+    * exact-cosine rerank top-k. Recall sits between the bucket paths and
+    * a04's int-sketch scan (the 1-bit quantization loses magnitude
+    * information; AnnRecallSpec measures it) — the trade is 32× less scan
+    * I/O than exact and 32× less than the int sketch.
+    */
+  def hammingRerankTopK(emb: DataFrame, queryFilter: Column, k: Int,
+                        bits: Int = 32, den: Int = 5): DataFrame = {
+    require(bits <= 63, "codes pack into one long")
+    val sk = sketches(emb, bits)
+    val code = (0 until bits)
+      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    val codes = sk.select(col("vec_id"), code.as("code"))
+    val q = codes.join(emb.where(queryFilter).select(col("vec_id")), "vec_id")
+      .select(col("vec_id").as("q_id"), col("code").as("qc"))
+    val scored = codes.select(col("vec_id").as("c_id"), col("code").as("cc"))
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        bit_count(col("cc").bitwiseXOR(col("qc"))).as("ham"))
+    // bounded per-query histogram → integer ceil cut (same (cnt+den-1) div
+    // den arithmetic as a04 — exact in both engines, no double fractions)
+    val hist = scored.groupBy("q_id", "ham").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("q_id").orderBy("ham")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("cnt", sum("n").over(Window.partitionBy("q_id")))
+      .where(col("cum") >= expr(s"(cnt + ${den - 1}) div $den"))
+      .groupBy("q_id").agg(min("ham").as("thr"))
+    val cand = scored.join(thr, "q_id").where(col("ham") <= col("thr"))
+      .select("q_id", "c_id")
+    rerankExact(emb, cand, k)
+  }
+
   /** IVF with data-derived centroids, assignment in SKETCH space: centroids
     * are stride-sampled corpus vectors (vec_id ≡ 7 mod 13, first nCells by
     * id — a seeded sample that any engine reproduces), and both corpus and

@@ -43,6 +43,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.8, f"sketch-rerank recall $r%.3f below 0.8")
   }
 
+  test("binary Hamming-rerank recall beats 1-bit geometry floor at <= ~1/5 candidates") {
+    val emb = Tables.embeddings(spark, SfBig)
+    val qf = col("vec_id") < 20
+    val exact = Ann.bruteForceTopK(emb, qf, k = 5)
+    val ham = Ann.hammingRerankTopK(emb, qf, k = 5)
+    val r = recall(ham, exact)
+    info(f"recall@5 binary hamming-rerank (32-bit codes, ~1/5 candidates): $r%.3f")
+    assert(topSet(ham).size === 20)
+    // 1-bit codes lose magnitude info: expected between the bucket paths
+    // and the int-sketch scan on this isotropic corpus (neighbor bit
+    // agreement ~0.63 ⇒ neighbor Hamming ~N(11.7, 2.7) vs bulk ~N(16, 2.8))
+    assert(r >= 0.45, f"hamming-rerank recall $r%.3f below 0.45")
+  }
+
   test("multi-probe LSH and trained IVF recall are measurable and non-degenerate") {
     val emb = Tables.embeddings(spark, SfBig)
     val qf = col("vec_id") < 20

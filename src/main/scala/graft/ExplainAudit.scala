@@ -16,7 +16,8 @@ object ExplainAudit {
         "d10_decontaminate", "d12_repeat_substr", "t09_curation_gate",
         "i03_kmeans", "q08_asof_enrich", "q09_range_enrich", "s02_countmin",
         "p30_netflow_v9_typed", "p31_netflow_v9_options_typed", "k01_pack",
-        "f03_pcap_scan")
+        "f03_pcap_scan", "s04_bloom_decontam", "k11_len_batches",
+        "a05_ann_hamming", "p32_netflow_v9_resume")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -901,7 +901,7 @@ object QueriesPipeline {
 
     "q05_broadcast" ->
       """SELECT n_name, r_name,
-        |  sum(cast(round(l_extendedprice*(1-l_discount)*100) AS bigint)) AS revenue_cents,
+        |  cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) AS bigint)) AS bigint) AS revenue_cents,
         |  count(*) AS cnt
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey

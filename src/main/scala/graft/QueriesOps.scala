@@ -424,6 +424,12 @@ object QueriesOps {
     "k06_domain_mix" -> ((s, dir) =>
       graft.ops.CurationOps.domainMixSample(docs(s, dir))),
 
+    // temperature-scaled mixture weights (w_i ∝ n_i^(1/2)): per-domain
+    // sampling ppm, one-corpus token budget, and epoch factor — all int64
+    "k12_temp_mix" -> ((s, dir) =>
+      graft.ops.CurationOps.temperatureMix(
+        Tables.tokens(s, dir).select(col("source"), col("n_tok")))),
+
     // semantic clustering (SemDeDup stage 1 / trained-IVF index build):
     // 2-iteration Lloyd k-means in sketch space, division-free
     // sum-centroids so every value stays exact int64 (see Ann scaladoc)
@@ -469,6 +475,13 @@ object QueriesOps {
         .where(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("pos_id"))
         .select("anchor", "pos_id", "j", "neg_id")
     }),
+
+    // semi-hard negative mining: negatives ranked by cosine INSIDE the
+    // FaceNet band (pos_cos − 0.2 ≤ neg_cos < pos_cos) — the Q×N frame
+    // materializes once and both rank passes are salted two-level top-k
+    "i05_hard_negatives" -> ((s, dir) =>
+      Ann.semiHardNegatives(emb(s, dir), col("vec_id") < 10, k = 4,
+        marginE6 = 200000L)),
 
     // int8 quantization: q = floor(x·scale + 0.5), scale = 127/max|x|
     // (floor(x+0.5) IS the spec — identical in both engines, unlike the
@@ -928,6 +941,22 @@ object QueriesOps {
         |WHERE (doc_id % 1000003) * 2654435761 % 1000003 % 1000
         |      < ((cast(substr(source, 4) AS int) % 4) + 1) * 250""".stripMargin,
 
+    "k12_temp_mix" -> withCtes(ToksCte,
+      """per AS (SELECT source, count(*) AS n_docs,
+        |    cast(sum(cast(len(tokens) AS bigint)) AS bigint) AS tok
+        |  FROM toks GROUP BY 1),
+        |w AS (SELECT source, n_docs, tok,
+        |    cast(floor(sqrt(cast(tok AS double))) AS bigint) AS w
+        |  FROM per WHERE tok > 0),
+        |tot AS (SELECT cast(sum(w) AS bigint) AS sum_w,
+        |    cast(sum(tok) AS bigint) AS t_tot FROM w),
+        |m AS (SELECT source, n_docs, tok, (w * 1000000) // sum_w AS weight_ppm,
+        |    (t_tot // sum_w) * w + ((t_tot % sum_w) * w) // sum_w AS samp_tok
+        |  FROM w CROSS JOIN tot)""".stripMargin)(
+      """SELECT source, n_docs, tok, weight_ppm, samp_tok,
+        |  (samp_tok // tok) * 1000000 + ((samp_tok % tok) * 1000000) // tok AS epochs_e6
+        |FROM m""".stripMargin),
+
     "d12_repeat_substr" -> {
       val fold = (0 until 24).foldLeft("cast(0 AS bigint)") { (acc, j) =>
         s"(($acc*31 + ascii(substr(text, cast(i+$j AS int), 1))) % 1000000007)"
@@ -1002,6 +1031,28 @@ object QueriesOps {
         |FROM pos CROSS JOIN mx CROSS JOIN (VALUES (1), (2), (3), (4)) t(j)
         |WHERE (anchor*31 + j*2654435761) % n <> anchor
         |  AND (anchor*31 + j*2654435761) % n <> pos_id""".stripMargin),
+
+    "i05_hard_negatives" -> withCtes(EmbCte,
+      s"""scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    cast(round(${cosSql("q.v", "c.v")}*1000000) AS bigint) AS cos
+         |  FROM (SELECT * FROM edd WHERE vec_id < 10) q
+         |  JOIN edd c ON c.vec_id <> q.vec_id)""".stripMargin,
+      """pos AS (
+        |  SELECT q_id, c_id AS pos_id, cos AS pos_cos FROM (
+        |    SELECT q_id, c_id, cos,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |    FROM scored) WHERE rk = 1)""".stripMargin)(
+      """SELECT q_id AS anchor, pos_id, pos_cos AS pos_cos_e6,
+        |  c_id AS neg_id, cos AS neg_cos_e6, rank
+        |FROM (
+        |  SELECT s.q_id, s.c_id, s.cos, p.pos_id, p.pos_cos,
+        |    cast(row_number() OVER (PARTITION BY s.q_id
+        |      ORDER BY s.cos DESC, s.c_id) AS int) AS rank
+        |  FROM scored s JOIN pos p ON p.q_id = s.q_id
+        |  WHERE s.c_id <> p.pos_id AND s.cos < p.pos_cos
+        |    AND s.cos >= p.pos_cos - 200000)
+        |WHERE rank <= 4""".stripMargin),
 
     "i01_embed_quantize" -> withCtes(EmbCte)(
       """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,

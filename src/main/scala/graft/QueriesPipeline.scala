@@ -593,8 +593,11 @@ object QueriesPipeline {
         Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
       }
       rm(new java.io.File(base)) // the two-run drill must start cold
+      // both runs filter the same walked frame — materialize it once or the
+      // packet synth + typed walk execute twice (branch-recompute trap)
       val ds = nfRecsOf(s,
         graft.operators.BinaryDecode.v9FlowsetWalk(Tables.nfV9Packets(s, dir)))
+        .localCheckpoint(true)
       // run 1: templates only (registers + saves; decodes nothing)
       graft.streaming.TemplateStore.decodeBatchResumable(
         ds.where(col("isTemplate")), base).count()

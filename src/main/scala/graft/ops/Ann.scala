@@ -82,6 +82,43 @@ object Ann {
     topKPerQuery(scored.select("q_id", "c_id", "cos"), k)
   }
 
+  /** Semi-hard negative mining (FaceNet, Schroff et al. 2015 §3.2): per
+    * anchor, the top-k most-similar negatives INSIDE the semi-hard band —
+    * less similar than the positive but by no more than the margin
+    * (pos_cos − margin ≤ neg_cos < pos_cos). Random negatives (i04) are
+    * mostly too easy to produce gradient; semi-hard ones train a metric
+    * embedding without collapsing it. The positive is the brute-force
+    * top-1. Band compares run on int64 e6 microunits of the 6-dp-rounded
+    * cosine — the established cross-engine float contract.
+    *
+    * Shape at scale: the Q×N scored frame materializes ONCE
+    * (localCheckpoint — it feeds both the positive top-1 and the band
+    * filter; unmaterialized it would score the corpus twice, the a04
+    * lesson), the |Q|-row positive side re-joins by broadcast, and both
+    * rank passes use the salted two-level top-k — no single-task corpus
+    * sort per query at any corpus size.
+    */
+  def semiHardNegatives(emb: DataFrame, queryFilter: Column, k: Int,
+                        marginE6: Long): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.where(queryFilter).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val scored = q.join(c, col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("qv"), col("cv")) * 1e6).cast("long").as("cos"))
+      .localCheckpoint(true)
+    val pos = topKPerQuery(scored, 1)
+      .select(col("q_id"), col("c_id").as("pos_id"), col("cos").as("pos_cos"))
+    val band = scored.join(broadcast(pos), "q_id")
+      .where(col("c_id") =!= col("pos_id") &&
+        col("cos") < col("pos_cos") && col("cos") >= col("pos_cos") - lit(marginE6))
+    topKPerQuery(band.select("q_id", "c_id", "cos"), k)
+      .join(broadcast(pos), "q_id")
+      .select(col("q_id").as("anchor"), col("pos_id"),
+        col("pos_cos").as("pos_cos_e6"), col("c_id").as("neg_id"),
+        col("cos").as("neg_cos_e6"), col("rank"))
+  }
+
   /** Projection weight for sketch row t (0-based), component i0 (1-based):
     * an LCG with a per-row multiplier so rows are decorrelated (a shared
     * multiplier makes every row the same sequence shifted — measured recall

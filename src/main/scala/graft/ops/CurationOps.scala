@@ -116,6 +116,43 @@ object CurationOps {
     docs.where(draw < rate).select(col("doc_id").as("did"), col("source"))
   }
 
+  /** Temperature-scaled domain-mixture weights — w_i ∝ n_i^α at α = 1/2,
+    * the standard smoothing of the natural token distribution that
+    * upsamples small domains when assembling a training mix (multilingual
+    * sampling in Conneau & Lample 2019; the mixture-weight baseline in
+    * DoReMi, Xie et al. 2023). Emits per domain: token count, normalized
+    * weight (ppm), the sampled-token budget when the mix draws exactly one
+    * corpus-worth of tokens, and the implied epoch factor (e6) — >1e6
+    * means the domain repeats.
+    *
+    * Integer-exact across engines: w_i = floor(sqrt(tok_i)) (IEEE-754
+    * sqrt is correctly rounded in both engines and token sums < 2^53
+    * round-trip the double exactly); everything after is int64 division.
+    * The budget uses floor(a·b/c) = (a div c)·b + ((a mod c)·b) div c so
+    * no intermediate product overflows: at 10^13 corpus tokens and
+    * per-domain w ≈ 3.5e6, the largest term is (t_tot mod sum_w)·w — under
+    * sum_w·w ≈ 2.5e14 — while the naive t_tot·w is ~3.5e19 > int64.
+    *
+    * Shape at scale: one map-side-combined aggregate reduces the corpus to
+    * |domains| rows; the normalizer is a broadcast single-row aggregate
+    * (scalar attachment, not a product) — one corpus read, nothing
+    * corpus-sized shuffles.
+    */
+  def temperatureMix(toks: DataFrame): DataFrame = {
+    val per = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("tok"))
+      .where(col("tok") > 0)
+      .select(col("source"), col("n_docs"), col("tok"),
+        floor(sqrt(col("tok").cast("double"))).cast("long").as("w"))
+    val tot = per.agg(sum("w").as("sum_w"), sum("tok").as("t_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tok"),
+        expr("w * 1000000 div sum_w").as("weight_ppm"),
+        expr("(t_tot div sum_w) * w + (t_tot % sum_w) * w div sum_w").as("samp_tok"))
+      .select(col("source"), col("n_docs"), col("tok"), col("weight_ppm"), col("samp_tok"),
+        expr("(samp_tok div tok) * 1000000 + (samp_tok % tok) * 1000000 div tok").as("epochs_e6"))
+  }
+
   /** Character-trigram corpus-familiarity score (the CCNet quality-bucket
     * idea with an integer frequency table as the LM): the corpus's global
     * trigram counts are the model; a document scores the mean corpus

@@ -54,6 +54,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix flattens the natural distribution without inventing tokens") {
+    val toks = Seq(
+      ("big", 900L), ("big", 900L), ("big", 900L), ("big", 900L), // 3600 tokens
+      ("mid", 400L), ("mid", 500L),                               //  900 tokens
+      ("tiny", 100L)                                              //  100 tokens
+    ).toDF("source", "n_tok")
+    val m = CurationOps.temperatureMix(toks).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // w = isqrt(tok): 60 / 30 / 10, sum_w = 100, t_tot = 4600
+    assert(m("big")._2 === 600000L && m("mid")._2 === 300000L && m("tiny")._2 === 100000L)
+    // α=1/2 flattening: every smaller domain gets a HIGHER epoch factor,
+    // and only the below-natural-share domains repeat (epochs > 1e6)
+    assert(m("tiny")._4 > m("mid")._4 && m("mid")._4 > m("big")._4)
+    assert(m("big")._4 < 1000000L && m("tiny")._4 > 1000000L)
+    // the sampled budget is conservative: never exceeds one corpus-worth
+    assert(m.values.map(_._3).sum <= 4600L)
+    // exact values: samp = floor(t_tot·w/sum_w), epochs = floor(samp·1e6/tok)
+    assert(m("tiny")._3 === 460L && m("tiny")._4 === 4600000L)
+    assert(m("big")._3 === 2760L && m("big")._4 === 766666L)
+  }
+
   test("k-means is a total partition that strictly beats its init by sketch-cosine") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val n = emb.count()

@@ -99,6 +99,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("semi-hard negatives sit strictly inside the band below the positive") {
+    // unit vectors with exact 6-dp cosines to the anchor (1,0):
+    // v1 → 0.6, v2 → 0.8 (the positive), v3 → 0.0, v4 → −1.0
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.6f, 0.8f)), (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Ann.semiHardNegatives(e, col("vec_id") === 0, k = 4, marginE6 = 200000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getInt(5)))
+    // positive is the argmax (v2 at 0.8); band = [0.6, 0.8) admits ONLY v1 —
+    // v3 (0.0) and v4 (−1.0) fall below, the positive itself is excluded
+    assert(r.toSeq === Seq((0L, 2L, 800000L, 1L, 600000L, 1)))
+    // widening the margin past 0.8 pulls v3 in at rank 2, still never v2/v4
+    val wide = Ann.semiHardNegatives(e, col("vec_id") === 0, k = 4, marginE6 = 900000L)
+      .collect().map(x => (x.getLong(3), x.getLong(4), x.getInt(5))).toSeq
+    assert(wide === Seq((1L, 600000L, 1), (3L, 0L, 2)))
+  }
+
   test("text ops: quality in [0,100]-ish band, token counts positive, langid total") {
     val d = Tables.documents(spark, Sf)
     val q = d.select(TextOps.qualityScore(col("text")).as("q")).as[Long].collect()

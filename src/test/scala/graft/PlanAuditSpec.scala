@@ -93,6 +93,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("k12 temperature mix reduces the corpus before the scalar-attachment join") {
+    val q = SparkEntry.queries("k12_temp_mix")(spark, Sf)
+    val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size === 1, "expected exactly the normalizer attachment join")
+    // the cross join must be |domains| × 1 — both inputs already aggregated,
+    // so the corpus never reaches the nested-loop side
+    joins.foreach { j =>
+      def hasAgg(p: LogicalPlan): Boolean = p.collectFirst { case a: Aggregate => a }.nonEmpty
+      assert(hasAgg(j.left) && hasAgg(j.right),
+        s"scalar attachment over unaggregated input:\n${j.simpleString(3)}")
+    }
+  }
+
   test("k01 packing shuffles boundary fragments, not per-token rows") {
     val q = SparkEntry.queries("k01_pack")(spark, Sf)
     val plan = q.queryExecution.optimizedPlan.toString

@@ -447,6 +447,17 @@ object QueriesOps {
       graft.ops.CurationOps.repeatedSubstrings(
         docs(s, dir).repartition(s.sparkContext.defaultParallelism), n = 24, minDocs = 3)),
 
+    // doc-level memorization risk: share of a doc's distinct 16-char
+    // windows that appear in >= 2 docs (d12's signal at document grain)
+    "t11_substr_novelty" -> ((s, dir) =>
+      graft.ops.CurationOps.substringNovelty(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism), n = 16, minDocs = 2)),
+
+    // deterministic per-source uniform sample (20 docs/source) via the
+    // salted two-level rank — sources are the archetypal hot window key
+    "k13_strat_sample" -> ((s, dir) =>
+      graft.ops.CurationOps.stratifiedSample(docs(s, dir), k = 20)),
+
     // BPE vocabulary induction, step 1: top-50 adjacent char pairs
     "k07_bpe_pairs" -> ((s, dir) =>
       graft.ops.CurationOps.bpePairs(docs(s, dir), topN = 50)),
@@ -969,6 +980,35 @@ object QueriesOps {
          |SELECT sub, count(*) AS n_docs, min(sid) AS first_sid
          |FROM ss GROUP BY sub HAVING count(*) >= 3""".stripMargin
     },
+
+    "t11_substr_novelty" -> {
+      val fold = (0 until 16).foldLeft("cast(0 AS bigint)") { (acc, j) =>
+        s"(($acc*31 + ascii(substr(text, cast(i+$j AS int), 1))) % 1000000007)"
+      }
+      s"""WITH ss AS (
+         |  SELECT DISTINCT doc_id AS sid,
+         |    unnest(list_transform(range(1, greatest(length(text)-15, 0)+1),
+         |      i -> $fold)) AS sub
+         |  FROM documents),
+         |cnt AS (SELECT sub, count(*) AS nd FROM ss GROUP BY 1),
+         |per AS (
+         |  SELECT sid, count(*) AS n_win,
+         |    cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_shared
+         |  FROM ss JOIN cnt USING (sub) GROUP BY 1)
+         |SELECT d.doc_id AS sid, coalesce(n_win, 0) AS n_win,
+         |  coalesce(n_shared, 0) AS n_shared,
+         |  coalesce((n_shared * 1000000) // n_win, 0) AS shared_e6
+         |FROM documents d LEFT JOIN per ON per.sid = d.doc_id""".stripMargin
+    },
+
+    "k13_strat_sample" ->
+      """SELECT source, did, draw, rank FROM (
+        |  SELECT source, doc_id AS did,
+        |    (doc_id % 1000003) * 2654435761 % 1000003 AS draw,
+        |    cast(row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id) AS int) AS rank
+        |  FROM documents)
+        |WHERE rank <= 20""".stripMargin,
 
     "k07_bpe_pairs" ->
       """WITH wd AS (

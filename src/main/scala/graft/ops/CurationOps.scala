@@ -202,6 +202,65 @@ object CurationOps {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Doc-level memorization-risk score (the document aggregation of the
+    * Lee et al. 2022 substring-duplication signal that d12 reports at the
+    * window level): the fraction of a document's distinct n-char windows
+    * that also occur in at least minDocs documents, in e6 microunits. A
+    * document scoring high is mostly boilerplate shared with the rest of
+    * the corpus — the memorization-risk / quality-prune signal.
+    *
+    * Shape at scale: the distinct (doc, window-hash) frame materializes
+    * ONCE (localCheckpoint) and feeds both the per-hash count and the
+    * score join — the t08 lesson. Unlike the charset³-bounded LM table,
+    * the count side is corpus-sized, so the join is a hash equi-join on
+    * the window hash (both sides partition on it), then one map-side
+    * combined aggregate back to doc grain. Docs too short to hold a
+    * window surface with n_win = 0, not silently dropped.
+    */
+  def substringNovelty(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    val base = docs.select(col("doc_id").as("sid"), col("text").as("__txt"))
+      .where(length(col("__txt")) >= n)
+      .select(col("sid"), col("__txt"),
+        explode(sequence(lit(1), length(col("__txt")) - lit(n - 1))).as("__i"))
+    val hash = (0 until n).foldLeft(lit(0L)) { (acc, j) =>
+      (acc * lit(31L) + ascii(col("__txt").substr(col("__i") + lit(j), lit(1)))) % lit(1000000007L)
+    }
+    val win = base.select(col("sid"), hash.as("sub")).distinct().localCheckpoint(true)
+    val cnt = win.groupBy("sub").agg(count(lit(1)).as("nd"))
+    val perDoc = win.join(cnt, "sub")
+      .groupBy("sid")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col("doc_id").as("sid"))
+      .join(perDoc, Seq("sid"), "left")
+      .select(col("sid"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(expr("n_shared * 1000000 div n_win"), lit(0L)).as("shared_e6"))
+  }
+
+  /** Deterministic stratified per-source sample: the k docs per source
+    * with the smallest hash draw (the uniform-without-replacement sample
+    * every pipeline keeps for eyeballing and eval carve-outs), draw ties
+    * broken on doc_id. A direct `Window.partitionBy(source)` rank would
+    * sort each source's full partition in one task — sources are the
+    * archetypal hot key (20 values here, few thousand at real scale). The
+    * same two-level construction as Ann's salted top-k instead: rank
+    * within (source, salt) first, keep k, then rank the ≤ salts·k
+    * survivors — identical output, bounded final window.
+    */
+  def stratifiedSample(docs: DataFrame, k: Int, salts: Int = 32): DataFrame = {
+    val draw = col("doc_id") % lit(1000003L) * lit(2654435761L) % lit(1000003L)
+    val base = docs.select(col("source"), col("doc_id"), draw.as("__d"))
+    val wLocal = Window.partitionBy(col("source"), pmod(hash(col("doc_id")), lit(salts)))
+      .orderBy(col("__d"), col("doc_id"))
+    val pruned = base.withColumn("__lr", row_number().over(wLocal))
+      .where(col("__lr") <= k).drop("__lr")
+    val w = Window.partitionBy(col("source")).orderBy(col("__d"), col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("source"), col("doc_id").as("did"), col("__d").as("draw"), col("rank"))
+  }
+
   /** Adjacent character-pair frequencies within words — the counting step
     * of BPE vocabulary induction (Sennrich et al. 2016): top `topN` pairs
     * by global frequency. Partial top-k via orderBy+limit

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Ann, CurationOps, DedupOps}
@@ -74,6 +75,35 @@ class CurationSpec extends SparkSpec {
     // exact values: samp = floor(t_tot·w/sum_w), epochs = floor(samp·1e6/tok)
     assert(m("tiny")._3 === 460L && m("tiny")._4 === 4600000L)
     assert(m("big")._3 === 2760L && m("big")._4 === 766666L)
+  }
+
+  test("substring novelty: duplicated docs score 1e6, unique docs 0, short docs surface") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // verbatim dup of 1
+      (3L, "zxqwvutsrqponmlkjihgfedcba0123456789!@#$%^&*"), // unique windows
+      (4L, "tiny") // shorter than one window
+    ).toDF("doc_id", "text")
+    val r = CurationOps.substringNovelty(docs, n = 16, minDocs = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(3)))).toMap
+    assert(r(1L)._2 === 1000000L && r(2L)._2 === 1000000L) // every window shared
+    assert(r(3L)._1 > 0L && r(3L)._2 === 0L)               // windows, none shared
+    assert(r(4L) === ((0L, 0L)))                           // surfaced, not dropped
+  }
+
+  test("stratified sample equals the direct per-source rank and caps at k") {
+    val docs = Tables.documents(spark, Sf)
+    val two = CurationOps.stratifiedSample(docs, k = 7)
+    val draw = col("doc_id") % lit(1000003L) * lit(2654435761L) % lit(1000003L)
+    val direct = docs.select(col("source"), col("doc_id").as("did"), draw.as("draw"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("draw"), col("did"))))
+      .where(col("rank") <= 7)
+    assert(two.exceptAll(direct).isEmpty && direct.exceptAll(two).isEmpty,
+      "two-level sample must equal the direct per-source rank")
+    CurationOps.stratifiedSample(docs, k = 7)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .foreach(r => assert(r.getLong(1) <= 7L))
   }
 
   test("k-means is a total partition that strictly beats its init by sketch-cosine") {

@@ -186,6 +186,13 @@ object QueriesOps {
         .select(col("q_id"), col("c_id"),
           round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
 
+    // product quantization + ADC scan: 8 nibble codes per vector, per-query
+    // 8x16 distance table, bucketed-histogram candidate cut, exact rerank
+    "a06_ann_pq" -> ((s, dir) =>
+      Ann.pqTopK(emb(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("q_id"), col("c_id"),
+          round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
+
     "t01_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("did"),
         TextOps.langIdHeuristic(col("text")).as("lang_pred"), col("lang"))),
@@ -672,6 +679,49 @@ object QueriesOps {
           |  WHERE cum >= (cnt + 4) // 5 GROUP BY q_id)""".stripMargin,
         """cand AS (SELECT q_id, c_id FROM hp JOIN thr USING (q_id)
           |  WHERE ham <= thr)""".stripMargin)(RerankSql)
+    },
+
+    "a06_ann_pq" -> {
+      def dist(s: Int): String = (1 to 8).map { d0 =>
+        val d = s * 8 + d0; s"(xi[$d]-ci[$d])*(xi[$d]-ci[$d])"
+      }.mkString(" + ")
+      val codeCols = (0 until 8)
+        .map(s => s"(min((${dist(s)})*100 + cid)) % 100 AS code$s").mkString(", ")
+      val dtArms = (0 until 8).map(s =>
+        s"SELECT vec_id AS q_id, cid, $s AS s, ${dist(s)} AS qd FROM qe6 CROSS JOIN cents")
+        .mkString("\n  UNION ALL ")
+      val clArms = (0 until 8)
+        .map(s => s"SELECT c_id, $s AS s, code$s AS code FROM codes")
+        .mkString("\n  UNION ALL ")
+      withCtes(EmbCte,
+        """e6 AS (SELECT vec_id, list_transform(embedding,
+          |  x -> cast(floor(cast(x AS double)*1000000 + 0.5) AS bigint)) AS xi
+          |FROM embeddings)""".stripMargin,
+        """cents AS (
+          |  SELECT row_number() OVER (ORDER BY
+          |      (vec_id % 1000003) * 2654435761 % 1000003, vec_id) AS cid,
+          |    xi AS ci
+          |  FROM e6
+          |  ORDER BY (vec_id % 1000003) * 2654435761 % 1000003, vec_id
+          |  LIMIT 16)""".stripMargin,
+        s"codes AS (SELECT vec_id AS c_id, $codeCols FROM e6 CROSS JOIN cents GROUP BY 1)",
+        "qe6 AS (SELECT vec_id, xi FROM e6 WHERE vec_id < 10)",
+        s"dtq AS ($dtArms)",
+        s"cl AS ($clArms)",
+        """bkt AS (
+          |  SELECT q_id, c_id, adist // 100000000 AS bk FROM (
+          |    SELECT d.q_id, cl.c_id, cast(sum(d.qd) AS bigint) AS adist
+          |    FROM cl JOIN dtq d ON d.s = cl.s AND d.cid = cl.code
+          |    WHERE cl.c_id <> d.q_id GROUP BY 1, 2))""".stripMargin,
+        """thr AS (SELECT q_id, min(bk) AS thr FROM (
+          |    SELECT q_id, bk,
+          |      sum(n) OVER (PARTITION BY q_id ORDER BY bk
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |      sum(n) OVER (PARTITION BY q_id) AS cnt
+          |    FROM (SELECT q_id, bk, count(*) AS n FROM bkt GROUP BY 1, 2))
+          |  WHERE cum >= (cnt + 4) // 5 GROUP BY q_id)""".stripMargin,
+        """cand AS (SELECT b.q_id, b.c_id FROM bkt b JOIN thr USING (q_id)
+          |  WHERE b.bk <= thr.thr)""".stripMargin)(RerankSql)
     },
 
     // twin of the two-pass threshold cut: same quantized-histogram →

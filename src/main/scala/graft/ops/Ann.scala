@@ -298,6 +298,86 @@ object Ann {
     rerankExact(emb, cand, k)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): the 64-d vector splits
+    * into m contiguous subspaces; each sub-vector is coded as its nearest
+    * of kCent codebook entries, so the scanned index is m small codes per
+    * vector (m=8, kCent=16 → 8 nibbles — 4 bytes, vs 256 for the floats).
+    * Queries scan by ADC (asymmetric distance): a per-query m×kCent table
+    * of exact sub-vector distances to every codebook entry, candidate
+    * distance = Σ_s table[s][code_s] — a broadcast join on (subspace,
+    * code) whose build side is ≤ Q·m·kCent rows, then the top 1/den
+    * fraction reranks by exact cosine.
+    *
+    * Codebooks are the kCent smallest-hash-draw corpus vectors' sub-vectors
+    * (the seeded-sample convention of a03/i03, reproducible in any engine;
+    * at real scale train them with the i03 Lloyd loop — the scan is
+    * unchanged). Everything before the rerank is exact int64 over
+    * floor(x·1e6+0.5) microunits, and each per-subspace argmin is a MIN
+    * over the composite key dist·100+cid, so assignment ties break on cid
+    * identically in both engines — no argmin/min_by semantics to match.
+    *
+    * Shape at 100 TB: encode and the distance table are broadcast cross
+    * joins against the kCent-row codebook; the ADC scan reads only the
+    * codes column and fans by queries; and the candidate cut is the a04
+    * bounded-histogram construction over adist div bucket — the bucket
+    * count is bounded by the VALUE RANGE (m·subDims·maxDiff²/bucket),
+    * never by the corpus, so no per-query corpus-fraction sort exists
+    * anywhere in the plan.
+    */
+  def pqTopK(emb: DataFrame, queryFilter: Column, k: Int, m: Int = 8,
+             kCent: Int = 16, den: Int = 5, dims: Int = 64,
+             bucket: Long = 100000000L): DataFrame = {
+    require(dims % m == 0, "subspaces must tile the vector")
+    val sub = dims / m
+    val e6cols = (1 to dims).map(d =>
+      floor(element_at(col("embedding"), d).cast("double") * 1e6 + lit(0.5))
+        .cast("long").as(s"x$d"))
+    val base = emb.select(col("vec_id") +: e6cols: _*).localCheckpoint(true)
+    val draw = col("vec_id") % lit(1000003L) * lit(2654435761L) % lit(1000003L)
+    val wSeed = Window.orderBy(col("__d"), col("vec_id")) // kCent rows only
+    val cents = base.withColumn("__d", draw)
+      .orderBy(col("__d"), col("vec_id")).limit(kCent)
+      .withColumn("cid", row_number().over(wSeed))
+      .select(col("cid") +: (1 to dims).map(d => col(s"x$d").as(s"c$d")): _*)
+    def distS(s: Int): Column = (1 to sub).map { d0 =>
+      val d = s * sub + d0
+      val diff = col(s"x$d") - col(s"c$d"); diff * diff
+    }.reduce(_ + _)
+    // encode: one map-side-combined aggregate, all m argmins in one pass
+    val codeAggs = (0 until m).map(s => min(distS(s) * 100L + col("cid")).as(s"k$s"))
+    val codes = base.crossJoin(broadcast(cents))
+      .groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("vec_id").as("c_id") +:
+        (0 until m).map(s => (col(s"k$s") % 100).cast("int").as(s"code$s")): _*)
+    // per-query ADC table, long form (q_id, s, cid, qd) — ≤ Q·m·kCent rows
+    val dt = base.join(emb.where(queryFilter).select(col("vec_id")), "vec_id")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("cid"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), distS(s).as("qd"))): _*)).as("e"))
+      .select(col("q_id"), col("e.s").as("s"), col("cid"), col("e.qd").as("qd"))
+    val codesLong = codes.select(col("c_id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), col(s"code$s").as("code"))): _*)).as("e"))
+      .select(col("c_id"), col("e.s").as("s"), col("e.code").as("code"))
+    val adist = codesLong.join(broadcast(dt),
+        codesLong("s") === dt("s") && codesLong("code") === dt("cid"))
+      .where(col("c_id") =!= col("q_id"))
+      .groupBy("q_id", "c_id").agg(sum("qd").as("adist"))
+    // bounded bucket histogram → integer ceil cut (the a04/a05 arithmetic)
+    val b = adist.withColumn("bk", expr(s"adist div $bucket"))
+    val wCum = Window.partitionBy("q_id").orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = b.groupBy("q_id", "bk").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("cnt", sum("n").over(Window.partitionBy("q_id")))
+      .where(col("cum") >= expr(s"(cnt + ${den - 1}) div $den"))
+      .groupBy("q_id").agg(min("bk").as("thr"))
+    val cand = b.join(thr, "q_id").where(col("bk") <= col("thr"))
+      .select("q_id", "c_id")
+    rerankExact(emb, cand, k)
+  }
+
   /** IVF with data-derived centroids, assignment in SKETCH space: centroids
     * are stride-sampled corpus vectors (vec_id ≡ 7 mod 13, first nCells by
     * id — a seeded sample that any engine reproduces), and both corpus and

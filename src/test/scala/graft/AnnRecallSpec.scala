@@ -57,6 +57,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.45, f"hamming-rerank recall $r%.3f below 0.45")
   }
 
+  test("PQ/ADC recall lands between 1-bit Hamming and the int-sketch scan") {
+    val emb = Tables.embeddings(spark, SfBig)
+    val qf = col("vec_id") < 20
+    val exact = Ann.bruteForceTopK(emb, qf, k = 5)
+    val pq = Ann.pqTopK(emb, qf, k = 5)
+    val r = recall(pq, exact)
+    info(f"recall@5 PQ 8x16 ADC (~1/5 candidates): $r%.3f")
+    assert(topSet(pq).size === 20)
+    // 4-bit-per-subspace codes carry magnitude (unlike a05's sign bits)
+    // but quantize to 16 sampled codewords per subspace on an isotropic
+    // corpus — expected above the 1-bit floor, below the exact-int sketch
+    assert(r >= 0.45, f"PQ recall $r%.3f below 0.45")
+  }
+
   test("multi-probe LSH and trained IVF recall are measurable and non-degenerate") {
     val emb = Tables.embeddings(spark, SfBig)
     val qf = col("vec_id") < 20

@@ -51,7 +51,8 @@ case class TokenFingerprint(child: Expression) extends UnaryExpression {
 
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "token_fingerprint" -> ((children: Seq[Expression]) => TokenFingerprint(children.head))
+    "token_fingerprint" -> ((children: Seq[Expression]) => TokenFingerprint(children.head)),
+    "window_hashes" -> ((children: Seq[Expression]) => WindowHashes(children(0), children(1)))
   )
 
   /** Register into an existing session (tests, Verify, Bench). */

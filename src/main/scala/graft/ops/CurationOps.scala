@@ -190,14 +190,11 @@ object CurationOps {
     * aggregates — no cross-document joins at any scale.
     */
   def repeatedSubstrings(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
-    val base = docs.select(col("doc_id").as("sid"), col("text").as("__txt"))
-      .where(length(col("__txt")) >= n)
-      .select(col("sid"), col("__txt"),
-        explode(sequence(lit(1), length(col("__txt")) - lit(n - 1))).as("__i"))
-    val hash = (0 until n).foldLeft(lit(0L)) { (acc, j) =>
-      (acc * lit(31L) + ascii(col("__txt").substr(col("__i") + lit(j), lit(1)))) % lit(1000000007L)
-    }
-    base.select(col("sid"), hash.as("sub")).distinct()
+    // one linear codegen pass per doc (WindowHashes slide) instead of an
+    // n-node substr chain per position — same hash values, same oracle
+    docs.select(col("doc_id").as("sid"),
+        explode(graft.functions.WindowHashes.of(col("text"), n)).as("sub"))
+      .distinct()
       .groupBy("sub").agg(count(lit(1)).as("n_docs"), min(col("sid")).as("first_sid"))
       .where(col("n_docs") >= minDocs)
   }
@@ -218,14 +215,11 @@ object CurationOps {
     * window surface with n_win = 0, not silently dropped.
     */
   def substringNovelty(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
-    val base = docs.select(col("doc_id").as("sid"), col("text").as("__txt"))
-      .where(length(col("__txt")) >= n)
-      .select(col("sid"), col("__txt"),
-        explode(sequence(lit(1), length(col("__txt")) - lit(n - 1))).as("__i"))
-    val hash = (0 until n).foldLeft(lit(0L)) { (acc, j) =>
-      (acc * lit(31L) + ascii(col("__txt").substr(col("__i") + lit(j), lit(1)))) % lit(1000000007L)
-    }
-    val win = base.select(col("sid"), hash.as("sub")).distinct().localCheckpoint(true)
+    // one linear codegen pass per doc (WindowHashes slide) instead of an
+    // n-node substr chain per position — same hash values, same oracle
+    val win = docs.select(col("doc_id").as("sid"),
+        explode(graft.functions.WindowHashes.of(col("text"), n)).as("sub"))
+      .distinct().localCheckpoint(true)
     val cnt = win.groupBy("sub").agg(count(lit(1)).as("nd"))
     val perDoc = win.join(cnt, "sub")
       .groupBy("sid")

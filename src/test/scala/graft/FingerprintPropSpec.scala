@@ -25,4 +25,49 @@ class FingerprintPropSpec extends SparkSpec {
     val want = samples.map(scalaFold)
     assert(got.toSeq === want)
   }
+
+  // the per-window fold the sliding WindowHashes must reproduce bit-for-bit
+  private def windowFold(s: String, n: Int): Seq[Long] = {
+    val cps = s.codePoints.toArray.toSeq
+    (0 to cps.length - n).map(i =>
+      cps.slice(i, i + n).foldLeft(0L)((acc, c) => (acc * 31L + c) % 1000000007L))
+  }
+
+  test("window_hashes slide == per-window fold on arbitrary strings, codegen AND interpreted") {
+    val genStr = Gen.oneOf(
+      Gen.listOf(Gen.asciiPrintableChar).map(_.mkString),
+      Gen.listOf(Gen.oneOf('a', 'b', ' ', 'Z', '0', '~', 'é', '☃')).map(_.mkString))
+    val samples: Seq[String] = Gen.listOfN(120, genStr).sample.get ++
+      Seq("", "x", "exactly24chars..........", "a" * 200)
+    for (n <- Seq(2, 16, 24)) {
+      val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+        .select(col("id"), expr(s"window_hashes(text, $n)").as("hs"))
+      val want = samples.map(s => windowFold(s, n))
+      assert(df.orderBy("id").as[(Long, Seq[Long])].collect().map(_._2).toSeq === want,
+        s"codegen path diverged at n=$n")
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try assert(df.orderBy("id").as[(Long, Seq[Long])].collect().map(_._2).toSeq === want,
+        s"interpreted path diverged at n=$n")
+      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+  }
+
+  test("window_hashes matches the windowed substr+ascii Catalyst chain on corpus text") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, Sf).limit(200)
+    val n = 24
+    val viaExpr = docs
+      .where(length(col("text")) >= n)
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")) - lit(n - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"),
+        (0 until n).foldLeft(lit(0L)) { (acc, j) =>
+          (acc * lit(31L) + ascii(col("text").substr(col("i") + lit(j), lit(1)))) % lit(1000000007L)
+        }.as("sub"))
+    val viaSlide = docs.select(col("doc_id"),
+      explode(graft.functions.WindowHashes.of(col("text"), n)).as("sub"))
+    assert(viaExpr.exceptAll(viaSlide).isEmpty && viaSlide.exceptAll(viaExpr).isEmpty,
+      "sliding hashes must equal the windowed chain on the real corpus")
+  }
 }

@@ -27,11 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * A Catalyst `BinaryExpression` with `doGenCode`, so it runs inside
   * whole-stage codegen like [[TokenFingerprint]].
   */
-case class WindowHashes(left: Expression, right: Expression) extends BinaryExpression {
+case class WindowHashes(left: Expression, right: Expression,
+                        p: Long = 1000000007L) extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "window_hashes"
 
-  private val P = 1000000007L
+  private val P = p
 
   override def nullSafeEval(t: Any, nv: Any): Any = {
     val cps = t.asInstanceOf[UTF8String].toString.codePoints.toArray
@@ -72,13 +73,13 @@ case class WindowHashes(left: Expression, right: Expression) extends BinaryExpre
          |} else {
          |  long[] $out = new long[$m];
          |  long $h = 0L;
-         |  for (int $i = 0; $i < $nv; $i++) { $h = ($h * 31L + $cps[$i]) % 1000000007L; }
+         |  for (int $i = 0; $i < $nv; $i++) { $h = ($h * 31L + $cps[$i]) % ${P}L; }
          |  $out[0] = $h;
          |  long $pw = 1L;
-         |  for (int $i = 1; $i < $nv; $i++) { $pw = $pw * 31L % 1000000007L; }
+         |  for (int $i = 1; $i < $nv; $i++) { $pw = $pw * 31L % ${P}L; }
          |  for (int $i = 1; $i < $m; $i++) {
-         |    $h = ($h - (long) $cps[$i - 1] * $pw % 1000000007L + 1000000007L) % 1000000007L;
-         |    $h = ($h * 31L + $cps[$i + $nv - 1]) % 1000000007L;
+         |    $h = ($h - (long) $cps[$i - 1] * $pw % ${P}L + ${P}L) % ${P}L;
+         |    $h = ($h * 31L + $cps[$i + $nv - 1]) % ${P}L;
          |    $out[$i] = $h;
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -91,7 +92,11 @@ case class WindowHashes(left: Expression, right: Expression) extends BinaryExpre
 }
 
 object WindowHashes {
-  /** Column DSL: `WindowHashes.of(col("text"), 24)` → array<long>. */
-  def of(text: Column, n: Int): Column =
-    GraftColumnBridge.column(WindowHashes(GraftColumnBridge.expression(text), Literal(n)))
+  /** Column DSL: `WindowHashes.of(col("text"), 24)` → array<long>. The
+    * modulus defaults to 1e9+7 (the d12/t11 fold); the d-series shingles
+    * pass 2^31−1. Stepwise mod equals the chains' single final mod for
+    * either prime — mod is a ring homomorphism.
+    */
+  def of(text: Column, n: Int, p: Long = 1000000007L): Column =
+    GraftColumnBridge.column(WindowHashes(GraftColumnBridge.expression(text), Literal(n), p))
 }

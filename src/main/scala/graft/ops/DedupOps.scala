@@ -174,37 +174,29 @@ object DedupOps {
     * This is the shingle→int step of the MinHash pipeline
     * (shingle → minhash → band → bucket-join).
     */
-  def shingleTokens(text: Column, n: Int): Column = {
-    def hashAt(i: Column): Column = {
-      val acc = (0 until n).foldLeft(lit(0L)) { (acc, j) =>
-        acc * lit(31L) + ascii(text.substr(i + lit(j), lit(1)))
-      }
-      (acc % lit(P)).cast("int")
-    }
-    when(length(text) >= n,
-      array_distinct(transform(sequence(lit(1), length(text) - lit(n - 1)), hashAt _)))
-      .otherwise(array().cast("array<int>"))
-  }
+  def shingleTokens(text: Column, n: Int): Column =
+    // the sliding WindowHashes pass computes the same values (stepwise mod
+    // == single final mod — mod is a ring homomorphism); the residual HOF
+    // is only the per-element int cast over the finished array
+    array_distinct(transform(graft.functions.WindowHashes.of(text, n, P), x => x.cast("int")))
 
   /** Distinct (sid, tok) shingle ROWS — the whole-stage-codegen form of
-    * [[shingleTokens]]: positions come from an exploded `sequence` (a
-    * codegen'd generator), the n-char base-31 ascii fold is a flat codegen'd
-    * expression per row, and distinctness is a map-side-combined aggregate.
-    * Same values as shingleTokens (same fold, same modulus), but no
-    * interpreted higher-order function anywhere — HOFs are CodegenFallback
-    * in Spark 4 and dominated the d-series cost (the fold alone measured
-    * ~2-3 s per pass at sf0.1 interpreted).
+    * [[shingleTokens]]: one sliding [[graft.functions.WindowHashes]] pass
+    * per document (a codegen Expression — O(len) total, vs the earlier
+    * n-node fold per exploded position), then a codegen explode and a
+    * map-side-combined distinct. Same values as ever (stepwise mod equals
+    * the original chain's single final mod); no interpreted higher-order
+    * function anywhere — HOFs are CodegenFallback in Spark 4 and once
+    * dominated the d-series cost (~2-3 s per pass at sf0.1 interpreted).
     */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int,
                   dedup: Boolean = true): DataFrame = {
-    val base = docs.select(col(idCol).as("sid"), col(textCol).as("__txt"))
-      .where(length(col("__txt")) >= n)
-      .select(col("sid"), col("__txt"),
-        explode(sequence(lit(1), length(col("__txt")) - lit(n - 1))).as("__i"))
-    val hash = (0 until n).foldLeft(lit(0L)) { (acc, j) =>
-      acc * lit(31L) + ascii(col("__txt").substr(col("__i") + lit(j), lit(1)))
-    }
-    val rows = base.select(col("sid"), (hash % lit(P)).cast("int").as("tok"))
+    // one linear WindowHashes pass per doc (same values: stepwise mod ==
+    // the chain's single final mod) instead of n substr+ascii nodes per
+    // exploded position
+    val rows = docs.select(col(idCol).as("sid"),
+      explode(graft.functions.WindowHashes.of(col(textCol), n, P)).as("__h"))
+      .select(col("sid"), col("__h").cast("int").as("tok"))
     // the distinct is a real shuffle: skip it for duplicate-insensitive
     // consumers (MinHash min); Jaccard/overlap counts REQUIRE dedup=true
     if (dedup) rows.distinct() else rows

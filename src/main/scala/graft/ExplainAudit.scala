@@ -17,7 +17,9 @@ object ExplainAudit {
         "i03_kmeans", "q08_asof_enrich", "q09_range_enrich", "s02_countmin",
         "p30_netflow_v9_typed", "p31_netflow_v9_options_typed", "k01_pack",
         "f03_pcap_scan", "s04_bloom_decontam", "k11_len_batches",
-        "a05_ann_hamming", "p32_netflow_v9_resume")
+        "a05_ann_hamming", "p32_netflow_v9_resume", "k12_temp_mix",
+        "i05_hard_negatives", "k13_strat_sample", "t11_substr_novelty",
+        "a06_ann_pq")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -460,6 +460,29 @@ object QueriesOps {
       graft.ops.CurationOps.substringNovelty(
         docs(s, dir).repartition(s.sparkContext.defaultParallelism), n = 16, minDocs = 2)),
 
+    // exact-substring-dedup interval step (Lee et al. 2022): shared 20-char
+    // window positions merged into maximal character spans per doc
+    "d14_dup_spans" -> ((s, dir) =>
+      graft.ops.CurationOps.duplicatedSpans(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism), n = 20, minDocs = 2)),
+
+    // Gopher/RefinedWeb structural quality-rule battery over a decorated
+    // multi-line raw (the corpus text is single-line; the decoration varies
+    // every rule deterministically by doc_id, and the oracle re-derives the
+    // identical construction — a rule bug cannot self-confirm)
+    "t12_gopher_rules" -> ((s, dir) => {
+      val did = col("doc_id")
+      val raw = concat(
+        when(did % 3 === 0, lit("- intro item")).otherwise(lit("intro item")),
+        when(did % 7 < 3, lit(" 404")).otherwise(lit(" ok")),
+        lit("\n"), col("text"), lit("\n"),
+        lit("tail "), expr("repeat('#', cast(doc_id % 5 AS int))"),
+        when(did % 4 === 1, lit(" more...")).otherwise(lit(" more")))
+      TextOps.gopherRules(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+          .select(did.as("did"), raw.as("raw")))
+    }),
+
     // deterministic per-source uniform sample (20 docs/source) via the
     // salted two-level rank — sources are the archetypal hot window key
     "k13_strat_sample" -> ((s, dir) =>
@@ -1050,6 +1073,77 @@ object QueriesOps {
          |  coalesce((n_shared * 1000000) // n_win, 0) AS shared_e6
          |FROM documents d LEFT JOIN per ON per.sid = d.doc_id""".stripMargin
     },
+
+    // gaps-and-islands twin of the duplicated-span merge: same window-hash
+    // fold as d12/t11 (per-window at gate scale; Spark slides it), shared
+    // positions from the distinct (doc, hash) count, spans via lag-break +
+    // running-sum groups, char total = max(pos) - min(pos) + n per span
+    "d14_dup_spans" -> {
+      val fold = (0 until 20).foldLeft("cast(0 AS bigint)") { (acc, j) =>
+        s"(($acc*31 + ascii(substr(text, cast(i+$j AS int), 1))) % 1000000007)"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id AS sid,
+         |    unnest(range(1, greatest(length(text)-19, 0)+1)) AS pos,
+         |    unnest(list_transform(range(1, greatest(length(text)-19, 0)+1),
+         |      i -> $fold)) AS sub
+         |  FROM documents),
+         |cnt AS (SELECT sub FROM (SELECT DISTINCT sid, sub FROM w)
+         |  GROUP BY sub HAVING count(*) >= 2),
+         |sh AS (SELECT w.sid, w.pos FROM w JOIN cnt USING (sub)),
+         |fl AS (SELECT sid, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY sid ORDER BY pos) > 20
+         |      THEN 1 ELSE 0 END AS brk FROM sh),
+         |gr AS (SELECT sid, pos,
+         |    sum(brk) OVER (PARTITION BY sid ORDER BY pos) AS grp FROM fl),
+         |sp AS (SELECT sid, grp, max(pos) - min(pos) + 20 AS chars
+         |  FROM gr GROUP BY 1, 2),
+         |pd AS (SELECT sid, cast(count(*) AS bigint) AS n_spans,
+         |    cast(sum(chars) AS bigint) AS dup_chars FROM sp GROUP BY 1)
+         |SELECT d.doc_id AS sid,
+         |  coalesce(pd.n_spans, 0) AS n_spans,
+         |  coalesce(pd.dup_chars, 0) AS dup_chars,
+         |  coalesce((pd.dup_chars * 1000000) // d.n_chars, 0) AS cover_e6
+         |FROM documents d LEFT JOIN pd ON pd.sid = d.doc_id""".stripMargin
+    },
+
+    "t12_gopher_rules" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS did,
+        |    (CASE WHEN doc_id % 3 = 0 THEN '- intro item' ELSE 'intro item' END)
+        |    || (CASE WHEN doc_id % 7 < 3 THEN ' 404' ELSE ' ok' END)
+        |    || chr(10) || text || chr(10) || 'tail '
+        |    || repeat('#', cast(doc_id % 5 AS int))
+        |    || (CASE WHEN doc_id % 4 = 1 THEN ' more...' ELSE ' more' END) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT did,
+        |    cast(len(string_split(t, chr(10))) AS bigint) AS n_lines,
+        |    cast(len(list_filter(string_split(replace(t, chr(10), ' '), ' '),
+        |      w -> length(w) > 0)) AS bigint) AS n_words,
+        |    cast(length(replace(replace(t, ' ', ''), chr(10), '')) AS bigint) AS sum_wlen,
+        |    cast(len(list_filter(string_split(replace(t, chr(10), ' '), ' '),
+        |      w -> regexp_matches(w, '[a-z]'))) AS bigint) AS alpha_w,
+        |    cast(length(t) - length(replace(t, '#', '')) AS bigint) AS sym_hits,
+        |    cast(len(list_filter(string_split(t, chr(10)), l -> l LIKE '- %')) AS bigint) AS bullet_l,
+        |    cast(len(list_filter(string_split(t, chr(10)), l -> l LIKE '%...')) AS bigint) AS ell_l,
+        |    cast(len(list_filter(string_split(replace(t, chr(10), ' '), ' '),
+        |      w -> w = 'the' OR w = 'a' OR w = 'and' OR w = 'of' OR w = 'to' OR w = 'in')) AS bigint) AS stop_hits
+        |  FROM raw),
+        |r AS (
+        |  SELECT did, n_words, stop_hits,
+        |    (sum_wlen * 1000000) // n_words AS mwl_e6,
+        |    (alpha_w * 1000000) // n_words AS alpha_e6,
+        |    (sym_hits * 1000000) // n_words AS sym_e6,
+        |    (bullet_l * 1000000) // n_lines AS bullet_e6,
+        |    (ell_l * 1000000) // n_lines AS ellipsis_e6
+        |  FROM m)
+        |SELECT *, cast(CASE WHEN n_words BETWEEN 10 AND 1000
+        |    AND mwl_e6 BETWEEN 3000000 AND 10000000 AND sym_e6 < 100000
+        |    AND bullet_e6 <= 900000 AND ellipsis_e6 <= 300000
+        |    AND alpha_e6 >= 800000 AND stop_hits >= 2
+        |  THEN 1 ELSE 0 END AS int) AS gopher_pass
+        |FROM r""".stripMargin,
 
     "k13_strat_sample" ->
       """SELECT source, did, draw, rank FROM (

@@ -233,6 +233,54 @@ object CurationOps {
         coalesce(expr("n_shared * 1000000 div n_win"), lit(0L)).as("shared_e6"))
   }
 
+  /** Cross-document duplicated-SPAN extraction — the interval step of
+    * exact substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): positions whose n-char
+    * window also occurs in ≥ minDocs documents are merged into maximal
+    * character intervals (two shared positions belong to one span when
+    * their windows overlap or touch, i.e. the position gap is ≤ n), and
+    * each document reports its span count, duplicated-character total, and
+    * duplicated-coverage fraction — the signal that decides whether a
+    * document is excised span-by-span or dropped whole.
+    *
+    * Shape at scale: one linear WindowHashes pass per document (codegen),
+    * a map-side-combined count on the window hash (both sides of the
+    * shared-position join partition on that hash — no skew: hashes are
+    * near-uniform), then per-document gaps-and-islands windows whose state
+    * is bounded by the document's own length, never the corpus. The
+    * distinct (doc, hash, pos) frame materializes once (localCheckpoint)
+    * and feeds both the count and the join — the t08/t11 lesson.
+    *
+    * Differs from [[substringNovelty]] (per-window share, no structure)
+    * exactly by the interval merge: novelty says "how much is shared",
+    * spans say "where, and in how many contiguous pieces".
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    val win = docs.select(col("doc_id").as("sid"), col("n_chars"),
+        posexplode(graft.functions.WindowHashes.of(col("text"), n)).as(Seq("pos", "sub")))
+      .localCheckpoint(true)
+    val cnt = win.select("sid", "sub").distinct()
+      .groupBy("sub").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+    val wOrd = Window.partitionBy("sid").orderBy("pos")
+    val spans = win.join(cnt, "sub")
+      .select(col("sid"), col("n_chars"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wOrd) > n, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(wOrd))
+      .groupBy("sid", "n_chars", "grp")
+      .agg(min("pos").as("s"), max("pos").as("e"))
+    val perDoc = spans.groupBy("sid", "n_chars")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(n.toLong)).as("dup_chars"))
+    docs.select(col("doc_id").as("sid"), col("n_chars"))
+      .join(perDoc, Seq("sid", "n_chars"), "left")
+      .select(col("sid"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(expr("dup_chars * 1000000 div n_chars"), lit(0L)).as("cover_e6"))
+  }
+
   /** Deterministic stratified per-source sample: the k docs per source
     * with the smallest hash draw (the uniform-without-replacement sample
     * every pipeline keeps for eyeballing and eval carve-outs), draw ties

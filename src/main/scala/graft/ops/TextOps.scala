@@ -73,6 +73,49 @@ object TextOps {
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 / RefinedWeb
+    * §3.1): the per-document structural filters every published pretraining
+    * pipeline runs before dedup — word-count band, mean-word-length band,
+    * symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, and a minimum stop-word count — composed
+    * into the keep/drop verdict. Every signal is an exact integer (e6
+    * microunits via floor division, never a rounded double), so the DuckDB
+    * twin is bit-exact. Pure string expressions; the only higher-order
+    * functions run once over per-document-bounded arrays (the split
+    * word/line lists), the same cost class as the split itself — at 100 TB
+    * this stays one linear map over each document with no shuffle.
+    *
+    * Input frame must carry (did, raw); emits one row per document.
+    */
+  def gopherRules(framed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val raw = col("raw")
+    val lines = split(raw, "\n")
+    val words = filter(split(translate(raw, "\n", " "), " "), w => length(w) > 0)
+    val stopWords = Seq("the", "a", "and", "of", "to", "in")
+    framed
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("sum_wlen", length(translate(raw, " \n", "")).cast("long"))
+      .withColumn("alpha_w", size(filter(words, w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("sym_hits", (length(raw) - length(translate(raw, "#", ""))).cast("long"))
+      .withColumn("bullet_l", size(filter(lines, l => l.like("- %"))).cast("long"))
+      .withColumn("ell_l", size(filter(lines, l => l.like("%..."))).cast("long"))
+      .withColumn("stop_hits", size(filter(words,
+        w => stopWords.map(s => w === s).reduce(_ || _))).cast("long"))
+      .select(col("did"), col("n_words"), col("stop_hits"),
+        expr("sum_wlen * 1000000 div n_words").as("mwl_e6"),
+        expr("alpha_w * 1000000 div n_words").as("alpha_e6"),
+        expr("sym_hits * 1000000 div n_words").as("sym_e6"),
+        expr("bullet_l * 1000000 div n_lines").as("bullet_e6"),
+        expr("ell_l * 1000000 div n_lines").as("ellipsis_e6"))
+      .withColumn("gopher_pass",
+        (col("n_words") >= 10 && col("n_words") <= 1000 &&
+          col("mwl_e6") >= 3000000L && col("mwl_e6") <= 10000000L &&
+          col("sym_e6") < 100000L && col("bullet_e6") <= 900000L &&
+          col("ellipsis_e6") <= 300000L && col("alpha_e6") >= 800000L &&
+          col("stop_hits") >= 2L).cast("int"))
+  }
+
   /** Position-weighted token fingerprint: Σ tokens[i]·(i+1) mod 1e9+7 —
     * order-sensitive, overflow-free (tokens < 2^15, positions < 2^20), and
     * exactly computable in SQL via an indexed list transform. A stronger

@@ -91,6 +91,53 @@ class CurationSpec extends SparkSpec {
     assert(r(4L) === ((0L, 0L)))                           // surfaced, not dropped
   }
 
+  test("duplicated spans merge overlapping shared windows into maximal intervals") {
+    val blockA = "abcdefghijklmnopqrst" // 20 chars — exactly one window
+    val blockB = "0123456789!@#$%^&*()" // 20 chars
+    val shared30 = blockA + "uvwxyz,./;" // 30 chars — 11 windows, one span
+    val docs = Seq(
+      (1L, "XXXX" + shared30 + "YYYYYYYYYY"),        // block at pos 4
+      (2L, shared30 + "ZZZZZZZZZZZZZZZZ"),           // block at pos 0
+      (3L, "q" * 60),                                // self-repeats only: not cross-doc
+      (4L, blockB + "w" * 30 + "KLMNOPQRSTUVWXYZABCD"), // two far-apart shared blocks
+      (5L, "KLMNOPQRSTUVWXYZABCD" + "v" * 25 + blockB)
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = CurationOps.duplicatedSpans(docs, n = 20, minDocs = 2)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    // the 30-char shared block merges its 11 window positions into ONE span
+    // of (10 + 20) = 30 chars, wherever it sits in the doc
+    assert(r(1L) === ((1L, 30L)))
+    assert(r(2L) === ((1L, 30L)))
+    // a doc repeating its own window shares nothing across docs
+    assert(r(3L) === ((0L, 0L)))
+    // two shared blocks separated by > n unique chars stay two 20-char spans
+    assert(r(4L) === ((2L, 40L)))
+    assert(r(5L) === ((2L, 40L)))
+  }
+
+  test("gopher rule battery computes exact structural signals and verdict") {
+    val raw1 = "- aa 404\nthe cat and the dog in a big house of cards to win\ntail ## more..."
+    val raw2 = "intro ok\nthe cat and the dog in a big house of cards to win\ntail more"
+    val framed = Seq((1L, raw1), (2L, raw2)).toDF("did", "raw")
+    val r = graft.ops.TextOps.gopherRules(framed).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val a = r(1L)
+    // 19 words, 57 word chars, 16 alphabetic words, 2 '#', 1 bullet line,
+    // 1 ellipsis line, stopwords {the,and,the,in,a,of,to} = 7
+    assert(a.getAs[Long]("n_words") === 19L)
+    assert(a.getAs[Long]("mwl_e6") === 3000000L)
+    assert(a.getAs[Long]("alpha_e6") === 16000000L / 19L)
+    assert(a.getAs[Long]("sym_e6") === 2000000L / 19L)
+    assert(a.getAs[Long]("bullet_e6") === 333333L)
+    assert(a.getAs[Long]("ellipsis_e6") === 333333L)
+    assert(a.getAs[Long]("stop_hits") === 7L)
+    assert(a.getAs[Int]("gopher_pass") === 0) // symbol ratio over threshold
+    val b = r(2L)
+    assert(b.getAs[Long]("n_words") === 17L)
+    assert(b.getAs[Int]("gopher_pass") === 1) // clean doc clears every band
+  }
+
   test("stratified sample equals the direct per-source rank and caps at k") {
     val docs = Tables.documents(spark, Sf)
     val two = CurationOps.stratifiedSample(docs, k = 7)

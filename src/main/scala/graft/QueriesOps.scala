@@ -193,6 +193,13 @@ object QueriesOps {
         .select(col("q_id"), col("c_id"),
           round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
 
+    // IVF-PQ composition (the billion-vector scale path): coarse cell cut,
+    // ADC rank of only the probed cells' 4-byte codes, exact rerank
+    "a07_ann_ivfpq" -> ((s, dir) =>
+      Ann.ivfPqTopK(emb(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("q_id"), col("c_id"),
+          round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
+
     "t01_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("did"),
         TextOps.langIdHeuristic(col("text")).as("lang_pred"), col("lang"))),
@@ -743,6 +750,68 @@ object QueriesOps {
           |      sum(n) OVER (PARTITION BY q_id) AS cnt
           |    FROM (SELECT q_id, bk, count(*) AS n FROM bkt GROUP BY 1, 2))
           |  WHERE cum >= (cnt + 4) // 5 GROUP BY q_id)""".stripMargin,
+        """cand AS (SELECT b.q_id, b.c_id FROM bkt b JOIN thr USING (q_id)
+          |  WHERE b.bk <= thr.thr)""".stripMargin)(RerankSql)
+    },
+
+    // IVF-PQ twin: the a03 coarse CTEs (cent/asn → ivfc, nProbe=64) feed
+    // the a06 ADC CTEs (pcent/codes/dtq/cl), bkt sums qd only over ivfc
+    // pairs, den=2 cut, shared exact rerank
+    "a07_ann_ivfpq" -> {
+      def chain(f: Int => String) = (0 until 32).map(f).mkString(" + ")
+      val dot = chain(t => s"k.s$t*c.c$t")
+      val cnorm = chain(t => s"c.c$t*c.c$t")
+      val centCols = (0 until 32).map(t => s"s$t AS c$t").mkString(", ")
+      def dist(s: Int): String = (1 to 8).map { d0 =>
+        val d = s * 8 + d0; s"(xi[$d]-ci[$d])*(xi[$d]-ci[$d])"
+      }.mkString(" + ")
+      val codeCols = (0 until 8)
+        .map(s => s"(min((${dist(s)})*100 + cid)) % 100 AS code$s").mkString(", ")
+      val dtArms = (0 until 8).map(s =>
+        s"SELECT vec_id AS q_id, cid, $s AS s, ${dist(s)} AS qd FROM qe6 CROSS JOIN pcent")
+        .mkString("\n  UNION ALL ")
+      val clArms = (0 until 8)
+        .map(s => s"SELECT c_id, $s AS s, code$s AS code FROM codes")
+        .mkString("\n  UNION ALL ")
+      withCtes(EmbCte, SkCte,
+        s"""cent AS (SELECT vec_id AS cid, $centCols FROM sk
+           |  WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 256)""".stripMargin,
+        s"""asn AS (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cast(($dot) AS double)/sqrt(cast(($cnorm) AS double)) DESC, cid) AS cr
+           |  FROM sk k CROSS JOIN cent c)""".stripMargin,
+        """ivfc AS (
+          |  SELECT DISTINCT q.vec_id AS q_id, cc.vec_id AS c_id
+          |  FROM asn q JOIN asn cc ON cc.cid = q.cid AND cc.cr = 1 AND cc.vec_id <> q.vec_id
+          |  WHERE q.vec_id < 10 AND q.cr <= 64)""".stripMargin,
+        """e6 AS (SELECT vec_id, list_transform(embedding,
+          |  x -> cast(floor(cast(x AS double)*1000000 + 0.5) AS bigint)) AS xi
+          |FROM embeddings)""".stripMargin,
+        """pcent AS (
+          |  SELECT row_number() OVER (ORDER BY
+          |      (vec_id % 1000003) * 2654435761 % 1000003, vec_id) AS cid,
+          |    xi AS ci
+          |  FROM e6
+          |  ORDER BY (vec_id % 1000003) * 2654435761 % 1000003, vec_id
+          |  LIMIT 16)""".stripMargin,
+        s"codes AS (SELECT vec_id AS c_id, $codeCols FROM e6 CROSS JOIN pcent GROUP BY 1)",
+        "qe6 AS (SELECT vec_id, xi FROM e6 WHERE vec_id < 10)",
+        s"dtq AS ($dtArms)",
+        s"cl AS ($clArms)",
+        """bkt AS (
+          |  SELECT q_id, c_id, adist // 100000000 AS bk FROM (
+          |    SELECT v.q_id, v.c_id, cast(sum(d.qd) AS bigint) AS adist
+          |    FROM ivfc v JOIN cl ON cl.c_id = v.c_id
+          |    JOIN dtq d ON d.q_id = v.q_id AND d.s = cl.s AND d.cid = cl.code
+          |    GROUP BY 1, 2))""".stripMargin,
+        """thr AS (SELECT q_id, min(bk) AS thr FROM (
+          |    SELECT q_id, bk,
+          |      sum(n) OVER (PARTITION BY q_id ORDER BY bk
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |      sum(n) OVER (PARTITION BY q_id) AS cnt
+          |    FROM (SELECT q_id, bk, count(*) AS n FROM bkt GROUP BY 1, 2))
+          |  WHERE cum >= (cnt + 1) // 2 GROUP BY q_id)""".stripMargin,
         """cand AS (SELECT b.q_id, b.c_id FROM bkt b JOIN thr USING (q_id)
           |  WHERE b.bk <= thr.thr)""".stripMargin)(RerankSql)
     },

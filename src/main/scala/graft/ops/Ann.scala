@@ -327,6 +327,22 @@ object Ann {
   def pqTopK(emb: DataFrame, queryFilter: Column, k: Int, m: Int = 8,
              kCent: Int = 16, den: Int = 5, dims: Int = 64,
              bucket: Long = 100000000L): DataFrame = {
+    val (codesLong, dt) = pqCodesAndTable(emb, queryFilter, m, kCent, dims)
+    val adist = codesLong.join(broadcast(dt),
+        codesLong("s") === dt("s") && codesLong("code") === dt("cid"))
+      .where(col("c_id") =!= col("q_id"))
+      .groupBy("q_id", "c_id").agg(sum("qd").as("adist"))
+    rerankExact(emb, bucketCutCandidates(adist, den, bucket), k)
+  }
+
+  /** The PQ index artifacts shared by [[pqTopK]] and [[ivfPqTopK]]: the
+    * per-vector code rows in long form (c_id, s, code) and the per-query
+    * ADC distance table (q_id, s, cid, qd) — ≤ Q·m·kCent rows, always the
+    * broadcast side. Exact int64 microunit arithmetic throughout; argmin
+    * ties break on cid via the min(dist·100+cid) composite.
+    */
+  private def pqCodesAndTable(emb: DataFrame, queryFilter: Column, m: Int,
+                              kCent: Int, dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, "subspaces must tile the vector")
     val sub = dims / m
     val e6cols = (1 to dims).map(d =>
@@ -360,11 +376,14 @@ object Ann {
         explode(array((0 until m).map(s =>
           struct(lit(s).as("s"), col(s"code$s").as("code"))): _*)).as("e"))
       .select(col("c_id"), col("e.s").as("s"), col("e.code").as("code"))
-    val adist = codesLong.join(broadcast(dt),
-        codesLong("s") === dt("s") && codesLong("code") === dt("cid"))
-      .where(col("c_id") =!= col("q_id"))
-      .groupBy("q_id", "c_id").agg(sum("qd").as("adist"))
-    // bounded bucket histogram → integer ceil cut (the a04/a05 arithmetic)
+    (codesLong, dt)
+  }
+
+  /** Bounded bucket histogram → integer ceil cut over ADC distances (the
+    * a04/a05 arithmetic): keep the top 1/den fraction by bucketed distance
+    * asc. Bucket count is bounded by the value range, never the corpus.
+    */
+  private def bucketCutCandidates(adist: DataFrame, den: Int, bucket: Long): DataFrame = {
     val b = adist.withColumn("bk", expr(s"adist div $bucket"))
     val wCum = Window.partitionBy("q_id").orderBy("bk")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -373,9 +392,8 @@ object Ann {
       .withColumn("cnt", sum("n").over(Window.partitionBy("q_id")))
       .where(col("cum") >= expr(s"(cnt + ${den - 1}) div $den"))
       .groupBy("q_id").agg(min("bk").as("thr"))
-    val cand = b.join(thr, "q_id").where(col("bk") <= col("thr"))
+    b.join(thr, "q_id").where(col("bk") <= col("thr"))
       .select("q_id", "c_id")
-    rerankExact(emb, cand, k)
   }
 
   /** IVF with data-derived centroids, assignment in SKETCH space: centroids
@@ -439,7 +457,17 @@ object Ann {
   }
 
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-              nCells: Int = 256, nProbe: Int = 32, kProj: Int = 32): DataFrame = {
+              nCells: Int = 256, nProbe: Int = 32, kProj: Int = 32): DataFrame =
+    rerankExact(emb, ivfPairs(emb, queryFilter, nCells, nProbe, kProj), k)
+
+  /** The IVF coarse stage shared by [[ivfTopK]] and [[ivfPqTopK]]: the
+    * distinct (q_id, c_id) candidate pairs where the corpus vector's best
+    * cell is among the query's nProbe probed cells (sketch-space
+    * assignment, stride-sampled centroids — see [[ivfTopK]]'s scaladoc for
+    * the shuffle-key and exactness analysis).
+    */
+  private def ivfPairs(emb: DataFrame, queryFilter: Column,
+                       nCells: Int, nProbe: Int, kProj: Int): DataFrame = {
     val sk = sketches(emb, kProj).localCheckpoint(true)
     val cents = sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
@@ -462,9 +490,39 @@ object Ann {
     val qIds = emb.where(queryFilter).select(col("vec_id").as("q_id"))
     val queryCells = ranked.join(qIds, ranked("vec_id") === qIds("q_id"))
       .where(col("cr") <= nProbe).select(col("q_id"), col("cid"))
-    val pairs = queryCells.join(corpusCell, Seq("cid"))
+    queryCells.join(corpusCell, Seq("cid"))
       .where(col("c_id") =!= col("q_id"))
       .select("q_id", "c_id").distinct()
-    rerankExact(emb, pairs, k)
+  }
+
+  /** IVF-PQ (Jégou et al. 2011 §IV — the FAISS `IVFPQR`-style scale path):
+    * the coarse inverted-file stage cuts the corpus to the query's probed
+    * cells, the PQ-ADC stage ranks ONLY those candidates by asymmetric
+    * distance and keeps the top 1/den, and the survivors rerank by exact
+    * cosine. This is the composition every billion-vector deployment runs:
+    * the cell equi-join bounds which code rows are read (≈ nProbe/nCells
+    * of the corpus), and each read costs m code bytes, not the full
+    * vector — here 4 bytes vs 256, on ~1/4 of the corpus.
+    *
+    * Both stages are the already-verified artifacts ([[ivfPairs]],
+    * [[pqCodesAndTable]]); the glue is one equi-join on c_id (pairs fan
+    * out ×m code rows) plus the broadcast ADC table keyed (q_id, s, code).
+    * All exact int64 until the final cosine — the a03/a06 oracle CTEs
+    * compose unchanged.
+    */
+  def ivfPqTopK(emb: DataFrame, queryFilter: Column, k: Int,
+                nCells: Int = 256, nProbe: Int = 64, kProj: Int = 32,
+                m: Int = 8, kCent: Int = 16, den: Int = 2, dims: Int = 64,
+                bucket: Long = 100000000L): DataFrame = {
+    val pairs = ivfPairs(emb, queryFilter, nCells, nProbe, kProj)
+    val (codesLong, dt) = pqCodesAndTable(emb, queryFilter, m, kCent, dims)
+    val dtr = dt.select(col("q_id").as("dq"), col("s").as("ds"),
+      col("cid").as("dcid"), col("qd"))
+    val adist = pairs.join(codesLong, "c_id")
+      .join(broadcast(dtr),
+        col("q_id") === col("dq") && col("s") === col("ds") &&
+          col("code") === col("dcid"))
+      .groupBy("q_id", "c_id").agg(sum("qd").as("adist"))
+    rerankExact(emb, bucketCutCandidates(adist, den, bucket), k)
   }
 }

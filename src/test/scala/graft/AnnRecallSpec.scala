@@ -71,6 +71,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.45, f"PQ recall $r%.3f below 0.45")
   }
 
+  test("IVF-PQ composition recall tracks its coarse stage at a quarter of its scan") {
+    val emb = Tables.embeddings(spark, SfBig)
+    val qf = col("vec_id") < 20
+    val exact = Ann.bruteForceTopK(emb, qf, k = 5)
+    val ivf = Ann.ivfTopK(emb, qf, k = 5, nCells = 256, nProbe = 64)
+    val ivfpq = Ann.ivfPqTopK(emb, qf, k = 5, nCells = 256, nProbe = 64)
+    val rIvf = recall(ivf, exact)
+    val r = recall(ivfpq, exact)
+    info(f"recall@5 IVF nProbe=64 (~1/4 corpus, full-width rerank): $rIvf%.3f")
+    info(f"recall@5 IVF-PQ (same cells, ADC keeps 1/2 -> ~1/8 corpus): $r%.3f")
+    assert(topSet(ivfpq).size === 20)
+    // the ADC half-cut can only lose what the coarse stage admitted: the
+    // composition must stay within reach of its IVF ceiling and clearly
+    // above the unranked-bucket floor on this isotropic corpus
+    assert(r >= rIvf - 0.25, f"IVF-PQ recall $r%.3f fell too far under IVF $rIvf%.3f")
+    assert(r >= 0.4, f"IVF-PQ recall $r%.3f below 0.4")
+  }
+
   test("multi-probe LSH and trained IVF recall are measurable and non-degenerate") {
     val emb = Tables.embeddings(spark, SfBig)
     val qf = col("vec_id") < 20

@@ -467,6 +467,15 @@ object QueriesOps {
       graft.ops.CurationOps.substringNovelty(
         docs(s, dir).repartition(s.sparkContext.defaultParallelism), n = 16, minDocs = 2)),
 
+    // incremental near-dup: the daily delta (sid % 5 == 0) probes the
+    // standing corpus's band index by broadcast, survivors verify by exact
+    // Jaccard — the corpus side never re-shingles or shuffles on band keys
+    "d15_incr_lsh" -> ((s, dir) => {
+      val sh = shingleRows(s, dir).localCheckpoint(true)
+      DedupOps.lshAgainstIndex(sh, col("sid") % 5 === 0, k = 16, r = 4,
+        minJacE6 = 300000L)
+    }),
+
     // exact-substring-dedup interval step (Lee et al. 2022): shared 20-char
     // window positions merged into maximal character spans per doc
     "d14_dup_spans" -> ((s, dir) =>
@@ -1142,6 +1151,26 @@ object QueriesOps {
          |  coalesce((n_shared * 1000000) // n_win, 0) AS shared_e6
          |FROM documents d LEFT JOIN per ON per.sid = d.doc_id""".stripMargin
     },
+
+    // incremental twin: the shared band CTEs restricted to index×delta,
+    // then the d04 list_intersect verification with the jac_e6 floor
+    "d15_incr_lsh" -> withCtes(ShingCte, SigCte, BandsCte,
+      """ipairs AS (
+        |  SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b
+        |  FROM sbands a JOIN sbands b USING (band_idx, band_key)
+        |  WHERE a.sid % 5 <> 0 AND b.sid % 5 = 0)""".stripMargin)(
+      """SELECT doc_a AS index_id, doc_b AS delta_id, inter,
+        |  sz_a AS sz_index, sz_b AS sz_delta,
+        |  (inter * 1000000) // (sz_a + sz_b - inter) AS jac_e6
+        |FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |    len(list_intersect(x.stoks, y.stoks)) AS inter,
+        |    len(x.stoks) AS sz_a, len(y.stoks) AS sz_b
+        |  FROM ipairs p
+        |  JOIN shingd x ON x.sid = p.doc_a
+        |  JOIN shingd y ON y.sid = p.doc_b)
+        |WHERE inter > 0
+        |  AND (inter * 1000000) // (sz_a + sz_b - inter) >= 300000""".stripMargin),
 
     // gaps-and-islands twin of the duplicated-span merge: same window-hash
     // fold as d12/t11 (per-window at gate scale; Spark slides it), shared

@@ -252,6 +252,51 @@ object DedupOps {
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
   }
 
+  /** Incremental MinHash-LSH near-dup detection against an indexed corpus —
+    * the daily-delta path of dedup at 100 TB: the standing corpus's band
+    * keys are a precomputed artifact (in production they live alongside the
+    * d08 exact-hash index; here both sides derive from one banding pass
+    * split by the delta predicate), and only the DELTA probes them. The
+    * delta band rows broadcast (a day's intake is orders of magnitude
+    * smaller than the corpus), so the candidate probe is a broadcast hash
+    * join against the index bands — the corpus never shuffles on the band
+    * key. Candidates verify by exact shingle Jaccard (the d04 explicit
+    * two-key join) and pairs clearing minJacE6 report as near-duplicates
+    * of the standing corpus.
+    *
+    * rows: distinct (sid, tok) shingle rows for index ∪ delta (the
+    * [[jaccardRows]] precondition); deltaPred: predicate on sid selecting
+    * the new batch. Output: (index_id, delta_id, inter, sz_index,
+    * sz_delta, jac_e6) — integer microunit Jaccard, never a rounded
+    * parallel double.
+    */
+  def lshAgainstIndex(rows: DataFrame, deltaPred: Column, k: Int, r: Int,
+                      minJacE6: Long): DataFrame = {
+    require(k % r == 0, "k must be divisible by r")
+    val sig = minhashSigRows(rows, k)
+    val bands = (0 until k / r).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        concat_ws("_", (0 until r).map(o => col(s"m${bi * r + o}").cast("string")): _*).as("band_key"))
+    }
+    // one banding pass feeds BOTH probe sides — materialize once
+    val b = sig.select(col("sid"), explode(array(bands: _*)).as("__band"))
+      .select(col("sid"), col("__band.band_idx").as("band_idx"),
+        col("__band.band_key").as("band_key"))
+      .localCheckpoint(true)
+    val cand = b.where(!deltaPred)
+      .select(col("sid").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(broadcast(b.where(deltaPred)
+        .select(col("sid").as("doc_b"), col("band_idx"), col("band_key"))),
+        Seq("band_idx", "band_key"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardRows(rows, cand)
+      .withColumn("jac_e6", expr("(inter * 1000000) div (sz_a + sz_b - inter)"))
+      .where(col("jac_e6") >= minJacE6)
+      .select(col("doc_a").as("index_id"), col("doc_b").as("delta_id"),
+        col("inter"), col("sz_a").as("sz_index"), col("sz_b").as("sz_delta"),
+        col("jac_e6"))
+  }
+
   /** Connected components over candidate pairs — the clustering step a real
     * dedup pipeline runs after LSH (keep one representative per component,
     * not per pair). Distributed min-label propagation: every node starts as

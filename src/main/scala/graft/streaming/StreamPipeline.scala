@@ -107,6 +107,42 @@ object StreamPipeline {
         col("quality") >= minQuality)
       .join(contaminated.select(col("did")), Seq("did"), "left_anti")
 
+  /** Near-dup ingest gate — the streaming form of
+    * [[graft.ops.DedupOps.lshAgainstIndex]]'s candidate probe: each
+    * arriving document computes its MinHash band keys STATELESSLY (per-row
+    * HOF fold over its own bounded shingle array — the one place the
+    * interpreted HOF form is the right tool: work is per new document,
+    * never corpus-wide) and is dropped when ANY band key hits the standing
+    * corpus's band index. Pass = anti-match on every band → a chain of k/r
+    * stream-static left-anti joins, all stateless, so the gate runs in
+    * append mode with NO watermark state at all. Jaccard verification of
+    * dropped candidates happens downstream on the batch path (d15) — the
+    * ingest gate only needs the recall-1 candidate cut.
+    *
+    * Documents too short to shingle carry null band keys and pass (equi-
+    * joins never match null — the same no-band-rows semantics as the batch
+    * [[graft.ops.DedupOps.banded]]). indexBands: the static
+    * (band_idx, band_key) artifact d15 probes; the same call runs in batch
+    * mode, where it must equal the batch band-match complement
+    * (StreamingSpec asserts it).
+    */
+  def nearDupGate(docs: DataFrame, indexBands: DataFrame,
+                  k: Int = 16, r: Int = 4): DataFrame = {
+    require(k % r == 0, "k must be divisible by r")
+    import graft.ops.DedupOps
+    val withSig = docs.withColumn("__t", DedupOps.shingleTokens(col("text"), 8))
+    val withKeys = (0 until k / r).foldLeft(withSig) { (f, bi) =>
+      val key = concat_ws("_", (0 until r).map(o =>
+        DedupOps.minhash(col("__t"), bi * r + o).cast("string")): _*)
+      f.withColumn(s"__bk$bi", when(size(col("__t")) > 0, key))
+    }
+    val gated = (0 until k / r).foldLeft(withKeys) { (f, bi) =>
+      f.join(indexBands.where(col("band_idx") === bi)
+        .select(col("band_key").as(s"__bk$bi")), Seq(s"__bk$bi"), "left_anti")
+    }
+    gated.drop("__t" +: (0 until k / r).map("__bk" + _): _*)
+  }
+
   /** Gap-based session aggregate in native Structured Streaming form:
     * `session_window` merges events separated by less than `gap`, the
     * watermark bounds session state (a session older than the horizon can

@@ -140,6 +140,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got === exp)
   }
 
+  test("streaming near-dup gate equals the batch band-match complement, stateless") {
+    val docsDir = tmp("graft-stream-neardup")
+    val all = Tables.documents(spark, "/root/testdata/sf0.01")
+    // standing corpus = sid % 5 != 0; delta (the stream) = sid % 5 == 0
+    val delta = all.where(col("doc_id") % 5 === 0)
+    delta.write.mode("overwrite").parquet(docsDir)
+    val indexBands = graft.ops.DedupOps.banded(
+        all.where(col("doc_id") % 5 =!= 0), "doc_id",
+        graft.ops.DedupOps.shingleTokens(col("text"), 8), k = 16, r = 4)
+      .select(col("band_idx"), col("band_key")).localCheckpoint(true)
+    val q = StreamPipeline.nearDupGate(
+        spark.readStream.schema(delta.schema).parquet(docsDir), indexBands)
+      .writeStream.format("memory").queryName("neardup_gate").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("neardup_gate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch expectation: delta docs with NO band-key hit against the index
+    val deltaBands = graft.ops.DedupOps.banded(delta, "doc_id",
+      graft.ops.DedupOps.shingleTokens(col("text"), 8), k = 16, r = 4)
+    val dropped = deltaBands.join(indexBands, Seq("band_idx", "band_key"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exp = delta.select("doc_id").collect().map(_.getLong(0)).toSet -- dropped
+    assert(got === exp, "streaming gate diverges from the batch band-match complement")
+    // the gate actually gates on this corpus: some docs drop, some pass
+    assert(dropped.nonEmpty && got.nonEmpty)
+    // batch mode of the same call agrees too
+    val batchGot = StreamPipeline.nearDupGate(delta, indexBands)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchGot === exp)
+  }
+
   test("streaming dedup within watermark drops duplicate keys, bounded state") {
     val in = tmp("graft-stream-in5")
     // stage the same rows TWICE — every key arrives duplicated

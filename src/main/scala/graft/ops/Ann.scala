@@ -279,10 +279,13 @@ object Ann {
     val codes = sk.select(col("vec_id"), code.as("code"))
     val q = codes.join(emb.where(queryFilter).select(col("vec_id")), "vec_id")
       .select(col("vec_id").as("q_id"), col("code").as("qc"))
+    // the Hamming scan feeds BOTH the threshold histogram and the candidate
+    // join — materialize once or the sketch+code pipeline executes twice
     val scored = codes.select(col("vec_id").as("c_id"), col("code").as("cc"))
       .join(broadcast(q), col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         bit_count(col("cc").bitwiseXOR(col("qc"))).as("ham"))
+      .localCheckpoint(true)
     // bounded per-query histogram → integer ceil cut (same (cnt+den-1) div
     // den arithmetic as a04 — exact in both engines, no double fractions)
     val hist = scored.groupBy("q_id", "ham").agg(count(lit(1)).as("n"))
@@ -384,7 +387,10 @@ object Ann {
     * asc. Bucket count is bounded by the value range, never the corpus.
     */
   private def bucketCutCandidates(adist: DataFrame, den: Int, bucket: Long): DataFrame = {
-    val b = adist.withColumn("bk", expr(s"adist div $bucket"))
+    // the ADC frame feeds BOTH the histogram and the candidate join —
+    // unmaterialized, its whole upstream (code join + coarse stage in the
+    // IVF-PQ case) would execute twice (the a04/t08 branch-recompute trap)
+    val b = adist.withColumn("bk", expr(s"adist div $bucket")).localCheckpoint(true)
     val wCum = Window.partitionBy("q_id").orderBy("bk")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = b.groupBy("q_id", "bk").agg(count(lit(1)).as("n"))

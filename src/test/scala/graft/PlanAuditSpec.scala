@@ -117,6 +117,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("slice("), s"expected array-slice fragments:\n$plan")
   }
 
+  test("d14 span merge windows are per-document and its count join is an equi-join") {
+    val q = SparkEntry.queries("d14_dup_spans")(spark, Sf)
+    val plan = q.queryExecution
+    // every window partitions on the document id — its state is bounded by
+    // one document's length, never the corpus
+    val wins = plan.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("sid")),
+        s"d14 window not partitioned by sid:\n${w.partitionSpec}")
+    }
+    // the shared-position probe is a hash equi-join on the window hash
+    val phys = plan.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"), s"non-equi join in d14:\n$phys")
+  }
+
   test("k10 token-budget selection has no window over corpus-sized input") {
     val q = SparkEntry.queries("k10_token_budget")(spark, Sf)
     val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }

@@ -158,6 +158,18 @@ object QueriesOps {
       DedupOps.duplicateClusters(
         DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4))),
 
+    // quality-aware keep decision per near-dup component: the d09
+    // clustering composed with the t02 quality score — keep the
+    // highest-quality member of each cluster (ties → min id), the
+    // canonicalization step real pipelines run instead of keep-min-id
+    "d16_cluster_canon" -> ((s, dir) => {
+      val clusters = DedupOps.duplicateClusters(
+        DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4))
+      val qual = docs(s, dir).select(col("doc_id").as("sid"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      DedupOps.clusterCanonical(clusters, qual)
+    }),
+
     "a01_ann_brute" -> ((s, dir) =>
       Ann.bruteForceTopK(emb(s, dir), col("vec_id") < 10, k = 5)
         .select(col("q_id"), col("c_id"),
@@ -584,6 +596,36 @@ object QueriesOps {
       |  SELECT doc_id + 1000000000000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** Shared closure CTE chain for d09/d16: transitive closure over the
+    * GROUP graph (signature-identical docs collapse to one node — equal
+    * 16-minhash signatures are automatically a pairwise LSH clique, and the
+    * corpus's ~500-doc near-dup families make any doc-level closure
+    * O(clique³) in the oracle engine). Ends at `greach`; consumers append
+    * their final SELECT (and further CTEs via a leading comma).
+    */
+  private lazy val ClusterCtes: String = "WITH RECURSIVE " +
+    Seq(ShingCte, SigCte, BandsCte, PairsCte).mkString(",\n") +
+    """,
+      |nodes AS (SELECT DISTINCT sid FROM (
+      |  SELECT doc_a AS sid FROM spairs UNION ALL SELECT doc_b FROM spairs)),
+      |sgrp AS (
+      |  SELECT s.sid, min(s.sid) OVER (
+      |    PARTITION BY m0, m1, m2, m3, m4, m5, m6, m7,
+      |                 m8, m9, m10, m11, m12, m13, m14, m15) AS gid
+      |  FROM ssig s JOIN nodes n ON n.sid = s.sid),
+      |gedges AS (
+      |  SELECT DISTINCT ga.gid AS src, gb.gid AS dst
+      |  FROM spairs p
+      |  JOIN sgrp ga ON ga.sid = p.doc_a
+      |  JOIN sgrp gb ON gb.sid = p.doc_b
+      |  WHERE ga.gid <> gb.gid),
+      |gboth AS (SELECT src, dst FROM gedges
+      |  UNION ALL SELECT dst, src FROM gedges),
+      |greach(gid, l) AS (
+      |  SELECT gid, gid FROM (SELECT DISTINCT gid FROM sgrp)
+      |  UNION
+      |  SELECT e.dst, greach.l FROM greach JOIN gboth e ON e.src = greach.gid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_exact_dup" -> withCtes(DupCte)(
       """SELECT md5(text) AS text_hash, count(*) AS dup_cnt, min(doc_id) AS keep_doc_id
@@ -627,30 +669,25 @@ object QueriesOps {
     // closure O(clique³) in the oracle engine (≥20 min at a 10× corpus);
     // the group graph stays tiny at any scale. cluster(sid) = min reachable
     // group id = component min sid, identical to the doc-level closure.
-    "d09_dup_clusters" -> ("WITH RECURSIVE " +
-      Seq(ShingCte, SigCte, BandsCte, PairsCte).mkString(",\n") +
-      """,
-        |nodes AS (SELECT DISTINCT sid FROM (
-        |  SELECT doc_a AS sid FROM spairs UNION ALL SELECT doc_b FROM spairs)),
-        |sgrp AS (
-        |  SELECT s.sid, min(s.sid) OVER (
-        |    PARTITION BY m0, m1, m2, m3, m4, m5, m6, m7,
-        |                 m8, m9, m10, m11, m12, m13, m14, m15) AS gid
-        |  FROM ssig s JOIN nodes n ON n.sid = s.sid),
-        |gedges AS (
-        |  SELECT DISTINCT ga.gid AS src, gb.gid AS dst
-        |  FROM spairs p
-        |  JOIN sgrp ga ON ga.sid = p.doc_a
-        |  JOIN sgrp gb ON gb.sid = p.doc_b
-        |  WHERE ga.gid <> gb.gid),
-        |gboth AS (SELECT src, dst FROM gedges
-        |  UNION ALL SELECT dst, src FROM gedges),
-        |greach(gid, l) AS (
-        |  SELECT gid, gid FROM (SELECT DISTINCT gid FROM sgrp)
-        |  UNION
-        |  SELECT e.dst, greach.l FROM greach JOIN gboth e ON e.src = greach.gid)
-        |SELECT s.sid, min(r.l) AS cluster
-        |FROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid""".stripMargin),
+    "d09_dup_clusters" -> (ClusterCtes +
+      "\nSELECT s.sid, min(r.l) AS cluster" +
+      "\nFROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid"),
+
+    // the d09 closure CTEs + quality per member; representative = min sid
+    // among the cluster's max-quality members (the struct-max tie-break)
+    "d16_cluster_canon" -> (ClusterCtes +
+      s""",
+         |clu AS (SELECT s.sid, min(r.l) AS cluster
+         |  FROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid),
+         |mem AS (SELECT c.sid, c.cluster, q.quality FROM clu c
+         |  JOIN (SELECT doc_id AS sid, $QualitySql AS quality FROM documents) q USING (sid)),
+         |mbest AS (SELECT cluster, max(quality) AS bq, count(*) AS n_members
+         |  FROM mem GROUP BY 1),
+         |rep AS (SELECT m.cluster, min(m.sid) AS rep_sid FROM mem m
+         |  JOIN mbest b USING (cluster) WHERE m.quality = b.bq GROUP BY 1)
+         |SELECT m.sid AS did, m.cluster, m.quality, b.n_members,
+         |  CASE WHEN m.sid = r.rep_sid THEN 1 ELSE 0 END AS keep
+         |FROM mem m JOIN mbest b USING (cluster) JOIN rep r USING (cluster)""".stripMargin),
 
     "d05_simhash" -> withCtes(ToksCte)({
       val sums = (0 until 16).map(b =>

@@ -348,6 +348,31 @@ object DedupOps {
     labels.select(col("sid"), col("lbl").as("cluster"))
   }
 
+  /** Quality-aware canonical selection per duplicate cluster — the decision
+    * step real pipelines run after clustering: instead of keeping an
+    * arbitrary member (min id), keep the HIGHEST-QUALITY document of each
+    * near-dup component (ties broken by min id, so the choice is
+    * deterministic). `clusters`: (sid, cluster) from [[duplicateClusters]];
+    * `quality`: (sid, quality) with an exact-integer score (e.g.
+    * TextOps.qualityScore).
+    *
+    * Scale shape: one equi-join on sid (corpus-partitioned), then a
+    * map-side-combined aggregate per cluster — max(struct(quality, −sid))
+    * picks the representative without a window, so a pathologically large
+    * component never becomes one task's sort. Output: one row per cluster
+    * member (did, cluster, quality, n_members, keep).
+    */
+  def clusterCanonical(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val members = clusters.join(quality, "sid")
+    val best = members.groupBy(col("cluster"))
+      .agg(max(struct(col("quality"), (-col("sid")).as("neg_sid"))).as("best"),
+        count(lit(1)).as("n_members"))
+    members.join(best, "cluster")
+      .select(col("sid").as("did"), col("cluster"), col("quality"),
+        col("n_members"),
+        (col("sid") === -col("best.neg_sid")).cast("int").as("keep"))
+  }
+
   /** Embedding cosine near-duplicates with sorted-neighborhood blocking:
     * candidate pairs are limited to ids within `window` of each other inside
     * a label block — linear candidate count, no n² cross join. Cosine is a

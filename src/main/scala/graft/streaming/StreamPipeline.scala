@@ -161,6 +161,26 @@ object StreamPipeline {
       .select(col("session_window.start").as("sess_start"), col("user_id"),
         col("n_events"), col("sum_cents"))
 
+  /** Stream-stream interval join — attribution-style correlation of two
+    * live feeds (e.g. document arrivals × their metadata/score feed, or
+    * impression × click): inner join on the key with the right event
+    * required inside [left_ts, left_ts + gapSec]. BOTH sides carry
+    * watermarks and the join condition bounds event time on each side, so
+    * Spark derives a state-eviction horizon — per-key buffered state is
+    * bounded by (watermark + gap), never by stream length; without the
+    * time bound the state store would grow forever. Inner join emits each
+    * match as soon as both rows have arrived (no watermark-close wait), so
+    * a drained run yields exactly the batch join of the same inputs.
+    * left: (l_key, l_ts timestamp, ...); right: (r_key, r_ts timestamp,
+    * ...).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, gapSec: Long,
+                   watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark("l_ts", watermark)
+      .join(right.withWatermark("r_ts", watermark),
+        expr(s"l_key = r_key AND r_ts >= l_ts AND " +
+          s"r_ts <= l_ts + interval $gapSec seconds"))
+
   /** Event-time windowed per-kind aggregate with a watermark — the streaming
     * analog of the per-run report (SURVEY.md §2.5) with late-data bounds the
     * reference never had.

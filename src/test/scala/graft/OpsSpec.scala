@@ -45,6 +45,24 @@ class OpsSpec extends SparkSpec {
     assert(c.size === 6)
   }
 
+  test("clusterCanonical: keeps the max-quality member, min-id on quality ties") {
+    // cluster 1 = {1,2,3}: quality 10/50/50 → tie at 50 → keep 2 (min id);
+    // cluster 7 = {7,8}: quality 90/20 → keep 7
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("sid", "cluster")
+    val quality = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 90L), (8L, 20L))
+      .toDF("sid", "quality")
+    val got = DedupOps.clusterCanonical(clusters, quality)
+      .select("did", "cluster", "quality", "n_members", "keep")
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, 10L, 3L, 0)))
+    assert(got(2L) === ((2L, 1L, 50L, 3L, 1)))
+    assert(got(3L) === ((3L, 1L, 50L, 3L, 0)))
+    assert(got(7L) === ((7L, 7L, 90L, 2L, 1)))
+    assert(got(8L) === ((8L, 7L, 20L, 2L, 0)))
+  }
+
   test("jaccard: identical docs → 1.0, disjoint docs absent") {
     val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(1, 2, 3)), (3L, Seq(9, 10, 11)))
       .toDF("sid", "toks")

@@ -173,6 +173,38 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot === exp)
   }
 
+  test("stream-stream interval join equals the batch join on drained feeds") {
+    // two live feeds derived from the same events table: even event_ids are
+    // the left feed (impressions), odd the right (follow-ups); correlate
+    // per user within a 10-minute window
+    val evDir = tmp("graft-stream-ssj")
+    val src = Tables.events(spark, Sf)
+    src.write.mode("overwrite").parquet(evDir)
+    def feeds(df: org.apache.spark.sql.DataFrame) = (
+      df.where(col("event_id") % 2 === 0).select(
+        col("user_id").as("l_key"), col("ts").cast("timestamp").as("l_ts"),
+        col("event_id").as("l_id")),
+      df.where(col("event_id") % 2 === 1).select(
+        col("user_id").as("r_key"), col("ts").cast("timestamp").as("r_ts"),
+        col("event_id").as("r_id")))
+    val streamIn = spark.readStream.schema(src.schema).parquet(evDir)
+    val (sl, sr) = feeds(streamIn)
+    val q = StreamPipeline.intervalJoin(sl, sr, gapSec = 600)
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val (bl, br) = feeds(src)
+    val exp = StreamPipeline.intervalJoin(bl, br, gapSec = 600) // batch mode
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty, "interval join produced no matches on the fixture")
+    assert(got === exp)
+  }
+
   test("streaming dedup within watermark drops duplicate keys, bounded state") {
     val in = tmp("graft-stream-in5")
     // stage the same rows TWICE — every key arrives duplicated

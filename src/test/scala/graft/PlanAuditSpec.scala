@@ -134,6 +134,18 @@ class PlanAuditSpec extends SparkSpec {
       !phys.contains("BroadcastNestedLoopJoin"), s"non-equi join in d14:\n$phys")
   }
 
+  test("d16 canonicalization has no per-cluster window sort and no cartesian") {
+    val q = SparkEntry.queries("d16_cluster_canon")(spark, Sf)
+    val plan = q.queryExecution
+    // representative choice is an aggregate (max struct), NOT a window — a
+    // pathologically large component must never become one task's sort
+    assert(plan.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "d16 should pick representatives via aggregate, not a window")
+    val phys = plan.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"), s"non-equi join in d16:\n$phys")
+  }
+
   test("k10 token-budget selection has no window over corpus-sized input") {
     val q = SparkEntry.queries("k10_token_budget")(spark, Sf)
     val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }

@@ -50,3 +50,32 @@ if missing or diff:
         print(" ", s, "expect", expect.get(s), "got", got.get(s))
     sys.exit(1)
 print("d09 OK (union-find cross-check)")
+
+# d16 (quality-aware canonicalization): composed from the same union-find
+# clusters + the DuckDB-verified t02 quality dump — representative = max
+# quality, min id among ties. Independent of Spark's d16 plan end-to-end
+# (both inputs carry their own linear-cost DuckDB verification at 10x).
+import glob
+if glob.glob(f"{out}/d16_cluster_canon"):
+    qual = dict(con.execute(
+        f"SELECT did, quality FROM read_parquet('{out}/t02_quality/*.parquet')").fetchall())
+    members = {}
+    for sid, cl in expect.items():
+        members.setdefault(cl, []).append(sid)
+    exp16 = {}
+    for cl, sids in members.items():
+        rep = min(sids, key=lambda s: (-qual[s], s))
+        for s in sids:
+            exp16[s] = (cl, qual[s], len(sids), 1 if s == rep else 0)
+    got16 = {r[0]: tuple(r[1:]) for r in con.execute(
+        f"SELECT did, cluster, quality, n_members, keep "
+        f"FROM read_parquet('{out}/d16_cluster_canon/*.parquet')").fetchall()}
+    m16 = set(exp16) ^ set(got16)
+    d16 = [s for s in exp16 if s in got16 and exp16[s] != got16[s]]
+    if m16 or d16:
+        print(f"d16 MISMATCH: sym-diff={len(m16)} wrong={len(d16)}")
+        for s in (list(m16)[:5] + d16[:5]):
+            print(" ", s, "expect", exp16.get(s), "got", got16.get(s))
+        sys.exit(1)
+    print(f"d16 OK (union-find + verified-quality composition, "
+          f"keeps={sum(v[3] for v in exp16.values())})")

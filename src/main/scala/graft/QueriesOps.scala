@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.ops.{Ann, DedupOps, Multimodal, TextOps}
+import graft.ops.{Ann, DedupOps, Multimodal, Retrieval, TextOps}
 import graft.Oracles._
 
 /** Training-data pipeline queries: deduplication (exact, MinHash-LSH,
@@ -211,6 +211,11 @@ object QueriesOps {
       Ann.ivfPqTopK(emb(s, dir), col("vec_id") < 10, k = 5)
         .select(col("q_id"), col("c_id"),
           round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
+
+    // lexical retrieval over the corpus (decontamination-by-search / eval-
+    // similar mining): rational-idf BM25, fixed-order term sum, top-k
+    "i06_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), Bm25Terms, k = 20)),
 
     "t01_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("did"),
@@ -595,6 +600,11 @@ object QueriesOps {
       |  UNION ALL
       |  SELECT doc_id + 1000000000000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Fixed BM25 query for i06 — mid-frequency corpus terms so scores vary
+    * across docs; shared by the Spark query and its DuckDB twin.
+    */
+  private val Bm25Terms: Seq[String] = Seq("hash", "merge", "window", "spark")
 
   /** Shared closure CTE chain for d09/d16: transitive closure over the
     * GROUP graph (signature-identical docs collapse to one node — equal
@@ -1372,6 +1382,8 @@ object QueriesOps {
         |  WHERE s.c_id <> p.pos_id AND s.cos < p.pos_cos
         |    AND s.cos >= p.pos_cos - 200000)
         |WHERE rank <= 4""".stripMargin),
+
+    "i06_bm25" -> Retrieval.bm25OracleSql(Bm25Terms, 20),
 
     "i01_embed_quantize" -> withCtes(EmbCte)(
       """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,

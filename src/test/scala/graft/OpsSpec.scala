@@ -63,6 +63,38 @@ class OpsSpec extends SparkSpec {
     assert(got(8L) === ((8L, 7L, 20L, 2L, 0)))
   }
 
+  test("bm25TopK matches a sequential reference on a toy corpus") {
+    val docs = Seq(
+      (1L, "hash join hash"),          // tf(hash)=2, len 3
+      (2L, "merge sort merge merge"),  // tf(merge)=3, len 4
+      (3L, "window scan"),             // tf(window)=1, len 2
+      (4L, "spark hash merge"),        // three query terms, len 3
+      (5L, "row scan filter")          // no query terms → absent
+    ).toDF("doc_id", "text")
+    val terms = Seq("hash", "merge", "window", "spark")
+    val got = graft.ops.Retrieval.bm25TopK(docs, terms, k = 5)
+      .as[(Long, Long)].collect().toMap
+    // sequential reference with the exact same double chains
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 15.0 / 5.0
+    def idf(df: Long): Double = ((5L - df).toDouble + 0.5) / (df.toDouble + 0.5)
+    def tfn(tf: Long, len: Long): Double =
+      (tf.toDouble * (k1 + 1)) /
+        (tf.toDouble + k1 * ((1 - b) + b * (len.toDouble / avgdl)))
+    def e6(x: Double): Long = math.floor(x * 1e6).toLong
+    val exp = Map(
+      1L -> e6(idf(2) * tfn(2, 3) + 0.0 + 0.0 + 0.0),
+      2L -> e6(0.0 + idf(2) * tfn(3, 4) + 0.0 + 0.0),
+      3L -> e6(0.0 + 0.0 + idf(1) * tfn(1, 2) + 0.0),
+      4L -> e6(idf(2) * tfn(1, 3) + idf(2) * tfn(1, 3) + 0.0 + idf(1) * tfn(1, 3)))
+    assert(got === exp)
+    // k cuts by (score desc, doc_id): the toy ranking is deterministic
+    val top2 = graft.ops.Retrieval.bm25TopK(docs, terms, k = 2)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    val order = exp.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(top2 === order.take(2).toSet)
+  }
+
   test("jaccard: identical docs → 1.0, disjoint docs absent") {
     val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(1, 2, 3)), (3L, Seq(9, 10, 11)))
       .toDF("sid", "toks")

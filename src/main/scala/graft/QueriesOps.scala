@@ -217,6 +217,11 @@ object QueriesOps {
     "i06_bm25" -> ((s, dir) =>
       Retrieval.bm25TopK(docs(s, dir), Bm25Terms, k = 20)),
 
+    // per-doc tf-idf keyword extraction (topic-signature tagging for
+    // domain labeling / mixture design); per-doc-bounded rank window
+    "t13_keywords" -> ((s, dir) =>
+      Retrieval.tfidfKeywords(docs(s, dir), m = 3)),
+
     "t01_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("did"),
         TextOps.langIdHeuristic(col("text")).as("lang_pred"), col("lang"))),
@@ -1384,6 +1389,8 @@ object QueriesOps {
         |WHERE rank <= 4""".stripMargin),
 
     "i06_bm25" -> Retrieval.bm25OracleSql(Bm25Terms, 20),
+
+    "t13_keywords" -> Retrieval.tfidfOracleSql(3),
 
     "i01_embed_quantize" -> withCtes(EmbCte)(
       """SELECT vec_id, cast(round(127.0/maxabs*1000000) AS bigint) AS scale_e6,

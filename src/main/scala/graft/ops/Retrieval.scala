@@ -63,6 +63,55 @@ object Retrieval {
       .select(col("doc_id"), floor(col("score") * 1e6).cast("long").as("score_e6"))
   }
 
+  /** Per-document tf-idf keyword extraction — the topic-signature tagging
+    * step curation pipelines run for domain labeling and mixture design:
+    * the top `m` terms of each doc by tf · rational-idf (same ln-free idf
+    * as [[bm25TopK]], same cross-engine-exactness argument). The per-doc
+    * rank is a window PARTITIONED BY doc_id — state bounded by one
+    * document's vocabulary (like the d14 span windows), never the corpus;
+    * df is one map-side-combined aggregate over distinct (doc, term) rows.
+    * Output: (did, term, rank, score_e6).
+    */
+  def tfidfKeywords(docs: DataFrame, m: Int = 3): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val n = docs.count() // corpus scalar; one job, embedded as a literal
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = ((lit(n) - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val scored = tf.join(broadcast(dfreq), "w")
+      .select(col("doc_id").as("did"), col("w").as("term"),
+        (col("tf").cast("double") * idf).as("score"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("did").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(byDoc))
+      .where(col("rank") <= m)
+      .select(col("did"), col("term"), col("rank"),
+        floor(col("score") * 1e6).cast("long").as("score_e6"))
+  }
+
+  /** DuckDB twin of [[tfidfKeywords]] (n is the corpus row count — the
+    * twin derives it in its own CTE; both engines then evaluate the same
+    * (n − df + 0.5)/(df + 0.5) · tf chain).
+    */
+  def tfidfOracleSql(m: Int = 3): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, cast(count(*) AS bigint) AS tf FROM words GROUP BY 1, 2),
+       |nn AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
+       |dfreq AS (SELECT w, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id AS did, tf.w AS term,
+       |    (tf * 1.0) * (((n - df) * 1.0 + 0.5) / (df * 1.0 + 0.5)) AS score
+       |  FROM tf JOIN dfreq USING (w) CROSS JOIN nn)
+       |SELECT did, term, rank, cast(floor(score * 1000000) AS bigint) AS score_e6
+       |FROM (SELECT did, term, score,
+       |        cast(row_number() OVER (PARTITION BY did ORDER BY score DESC, term) AS int) AS rank
+       |      FROM scored)
+       |WHERE rank <= $m""".stripMargin
+
   /** DuckDB twin of [[bm25TopK]] — identical constants (interpolated from
     * the same Scala doubles; Double.toString round-trips) and identical
     * left-assoc chains.

@@ -95,6 +95,23 @@ class OpsSpec extends SparkSpec {
     assert(top2 === order.take(2).toSet)
   }
 
+  test("tfidfKeywords ranks by tf·idf per doc, score-desc term-asc ties") {
+    val docs = Seq(
+      (1L, "hash hash hash scan"),  // hash tf=3 rare-ish, scan tf=1 common
+      (2L, "scan scan join"),
+      (3L, "scan join")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Retrieval.tfidfKeywords(docs, m = 2)
+      .select("did", "term", "rank").as[(Long, String, Int)].collect().toSet
+    // df: hash 1, scan 3, join 2; n=3
+    // idf: hash (2.5/1.5), scan (0.5/3.5), join (1.5/2.5)
+    // doc1: hash 3·1.667=5.0 > scan 0.143 → (hash 1, scan 2)
+    // doc2: join 0.6 > scan 2·0.143=0.286 → (join 1, scan 2)
+    // doc3: join 0.6 > scan 0.143 → (join 1, scan 2)
+    assert(got === Set((1L, "hash", 1), (1L, "scan", 2),
+      (2L, "join", 1), (2L, "scan", 2), (3L, "join", 1), (3L, "scan", 2)))
+  }
+
   test("jaccard: identical docs → 1.0, disjoint docs absent") {
     val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(1, 2, 3)), (3L, Seq(9, 10, 11)))
       .toDF("sid", "toks")

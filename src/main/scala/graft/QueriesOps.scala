@@ -281,6 +281,12 @@ object QueriesOps {
       Multimodal.extractFeatures(Multimodal.mediaFromDocs(docs(s, dir)))
         .toDF().select("media_id", "media_type", "n_bytes", "checksum")),
 
+    // perceptual-bucket media near-dup (image-dedup shape, codec stubbed):
+    // 8 exact byte-lane sums → coarse 8-d bucket → hash-agg dup groups;
+    // over the duplicated corpus so exact copies are guaranteed to collide
+    "m04_media_neardup" -> ((s, dir) =>
+      Multimodal.nearDupBuckets(Multimodal.mediaFromDocs(docsWithDups(s, dir)))),
+
     // IVF with corpus-derived centroids (stride-sampled vectors); 256 cells
     // so the candidate join key has real cardinality (nCells IS the shuffle
     // key), nProbe=32 holds the candidate fraction at ≈ 1/8
@@ -938,6 +944,36 @@ object QueriesOps {
         |      list_transform(range(1, length(text)+1), i -> cast(ascii(substr(text, cast(i AS int), 1)) AS bigint))),
         |    (a, b) -> (a*31 + b) % 1000000007) AS checksum
         |FROM documents""".stripMargin,
+
+    // byte-lane sums re-derived per char (ascii == byte on the ASCII
+    // corpus, the same equivalence m03's checksum twin documents); empty
+    // texts keep their all-zero lanes via the left join
+    "m04_media_neardup" -> withCtes(DupCte,
+      """lsum AS (
+        |  SELECT doc_id,
+        |    cast(coalesce(sum(CASE WHEN (i-1) % 8 = 0 THEN b END), 0) AS bigint) AS l0,
+        |    cast(coalesce(sum(CASE WHEN (i-1) % 8 = 1 THEN b END), 0) AS bigint) AS l1,
+        |    cast(coalesce(sum(CASE WHEN (i-1) % 8 = 2 THEN b END), 0) AS bigint) AS l2,
+        |    cast(coalesce(sum(CASE WHEN (i-1) % 8 = 3 THEN b END), 0) AS bigint) AS l3,
+        |    cast(coalesce(sum(CASE WHEN (i-1) % 8 = 4 THEN b END), 0) AS bigint) AS l4,
+        |    cast(coalesce(sum(CASE WHEN (i-1) % 8 = 5 THEN b END), 0) AS bigint) AS l5,
+        |    cast(coalesce(sum(CASE WHEN (i-1) % 8 = 6 THEN b END), 0) AS bigint) AS l6,
+        |    cast(coalesce(sum(CASE WHEN (i-1) % 8 = 7 THEN b END), 0) AS bigint) AS l7
+        |  FROM (
+        |    SELECT doc_id, i, ascii(substr(text, cast(i AS int), 1)) AS b
+        |    FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM dd))
+        |  GROUP BY 1)""".stripMargin,
+      """lanes AS (
+        |  SELECT d.doc_id AS media_id,
+        |    coalesce(l.l0, 0) AS l0, coalesce(l.l1, 0) AS l1,
+        |    coalesce(l.l2, 0) AS l2, coalesce(l.l3, 0) AS l3,
+        |    coalesce(l.l4, 0) AS l4, coalesce(l.l5, 0) AS l5,
+        |    coalesce(l.l6, 0) AS l6, coalesce(l.l7, 0) AS l7
+        |  FROM dd d LEFT JOIN lsum l ON l.doc_id = d.doc_id)""".stripMargin)(
+      """SELECT concat_ws('_', l0 // 256, l1 // 256, l2 // 256, l3 // 256,
+        |    l4 // 256, l5 // 256, l6 // 256, l7 // 256) AS bucket,
+        |  count(*) AS dup_cnt, min(media_id) AS keep_media_id
+        |FROM lanes GROUP BY 1 HAVING count(*) > 1""".stripMargin),
 
     "m01_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -211,6 +211,18 @@ class OpsSpec extends SparkSpec {
     assert(frames === expect)
   }
 
+  test("media nearDupBuckets: identical payloads collide, near byte-stats too; singletons dropped") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "abcdefgh".getBytes, 1, 1),
+      Multimodal.MediaRow(2L, "image", "abcdefgh".getBytes, 1, 1), // exact dup of 1
+      Multimodal.MediaRow(3L, "image", "abcdefgi".getBytes, 1, 1), // lane 7 +1 → same coarse bucket
+      Multimodal.MediaRow(4L, "image", Array.fill(800)('z'.toByte), 1, 1) // far singleton
+    ).toDS()
+    val got = Multimodal.nearDupBuckets(rows)
+      .select("dup_cnt", "keep_media_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1L)))
+  }
+
   test("embeddingNearDup is symmetric-free (id_a < id_b) and within window") {
     val nd = DedupOps.embeddingNearDup(Tables.embeddings(spark, Sf), 200, 0.35)
     assert(nd.where(col("id_a") >= col("id_b")).count() === 0)

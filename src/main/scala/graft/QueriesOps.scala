@@ -337,6 +337,29 @@ object QueriesOps {
         row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
     }),
 
+    // apply a trained vocabulary to the token streams — the text→ids step:
+    // top-32 tokens by (freq desc, tok) become ids 1..32 (the k03 shape:
+    // rank window only over the ≤32-row cut, never the corpus), everything
+    // else is OOV id 0; per-doc id sequence re-assembled position-sorted
+    // (first 16 positions, csv — the driver gate cannot hash arrays)
+    "k14_apply_vocab" -> ((s, dir) => {
+      val t = Tables.tokens(s, dir)
+      val freq = t.select(explode(col("tokens")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val vocab = freq.orderBy(col("freq").desc, col("tok")).limit(32)
+        .withColumn("vid",
+          row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+        .select("tok", "vid")
+      t.select(col("doc_id"),
+          posexplode(slice(col("tokens"), 1, 16)).as(Seq("pos", "tok")))
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("vid"), lit(0)).as("vid"))
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("vid")))),
+          x => x.getField("vid").cast("string")), ",").as("ids_csv"))
+    }),
+
     // dataset statistics: sequence-length histogram (16-token buckets) —
     // the length profile every tokenized-corpus curation step reports
     "k04_len_hist" -> ((s, dir) =>
@@ -1479,6 +1502,21 @@ object QueriesOps {
         |  SELECT tok, count(*) AS freq
         |  FROM (SELECT unnest(tokens) AS tok FROM toks) GROUP BY tok)
         |ORDER BY freq DESC, tok LIMIT 100""".stripMargin),
+
+    "k14_apply_vocab" -> withCtes(ToksCte,
+      """vfreq AS (
+        |  SELECT tok, count(*) AS freq
+        |  FROM (SELECT unnest(tokens) AS tok FROM toks) GROUP BY 1)""".stripMargin,
+      """vocab AS (
+        |  SELECT tok, cast(row_number() OVER (ORDER BY freq DESC, tok) AS int) AS vid
+        |  FROM (SELECT * FROM vfreq ORDER BY freq DESC, tok LIMIT 32))""".stripMargin,
+      """vpos AS (
+        |  SELECT doc_id, i, tokens[i] AS tok
+        |  FROM (SELECT doc_id, tokens, unnest(range(1, least(len(tokens), 16)+1)) AS i
+        |        FROM toks))""".stripMargin)(
+      """SELECT doc_id,
+        |  string_agg(cast(coalesce(v.vid, 0) AS varchar), ',' ORDER BY i) AS ids_csv
+        |FROM vpos LEFT JOIN vocab v USING (tok) GROUP BY doc_id""".stripMargin),
 
     "k04_len_hist" -> withCtes(ToksCte)(
       """SELECT cast(cast(floor(len(tokens)/16) AS bigint)*16 AS int) AS len_bucket,

@@ -216,6 +216,22 @@ class CurationSpec extends SparkSpec {
     assert(CurationOps.tokenBudgetSelect(scored, num = 1, den = 1).count() === scored.count())
   }
 
+  test("apply-vocab: ids match a sequentially-built top-32 vocab, OOV = 0") {
+    import spark.implicits._
+    // sequential reference vocab: top-32 tokens by (freq desc, tok asc)
+    val toks = Tables.tokens(spark, Sf)
+      .select(col("doc_id"), col("tokens")).as[(String, Seq[Int])].collect()
+    val freq = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(32)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val exp = toks.map { case (did, ts) =>
+      did -> ts.take(16).map(t => vocab.getOrElse(t, 0)).mkString(",")
+    }.filter(_._2.nonEmpty).toMap
+    val got = SparkEntry.queries("k14_apply_vocab")(spark, Sf)
+      .as[(String, String)].collect().toMap
+    assert(got === exp)
+  }
+
   test("sessionize splits exactly at the gap and conserves events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val sess = CurationOps.sessionize(ev, gapSec = 1800)

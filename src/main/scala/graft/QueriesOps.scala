@@ -155,6 +155,10 @@ object QueriesOps {
     // candidate pairs via distributed min-label propagation — the step that
     // turns pairwise candidates into keep-one-per-component dedup decisions
     "d09_dup_clusters" -> ((s, dir) =>
+      // doc-level propagation — measured faster on THIS pairs-sparse corpus
+      // (adjacent A/B: 5.0-5.8 s vs 5.5-7.8 s collapsed at sf0.1); the
+      // value-identical duplicateClustersCollapsed wins 5× the moment
+      // verbatim families appear (see its scaladoc for the measured cross)
       DedupOps.duplicateClusters(
         DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4))),
 

@@ -215,21 +215,85 @@ object DedupOps {
     rows.groupBy("sid").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH candidate pairs from (sid, tok) rows (doc_a < doc_b). */
-  def lshCandidatesRows(rows: DataFrame, k: Int, r: Int): DataFrame = {
-    require(k % r == 0, "k must be divisible by r")
-    val sig = minhashSigRows(rows, k)
+  /** (sid, band_idx, band_key) rows from a k-minhash signature frame. */
+  private def bandRows(sig: DataFrame, k: Int, r: Int): DataFrame = {
     val bands = (0 until k / r).map { bi =>
       struct(lit(bi).as("band_idx"),
         concat_ws("_", (0 until r).map(o => col(s"m${bi * r + o}").cast("string")): _*).as("band_key"))
     }
-    val b = sig.select(col("sid"), explode(array(bands: _*)).as("__band"))
+    sig.select(col("sid"), explode(array(bands: _*)).as("__band"))
       .select(col("sid"), col("__band.band_idx").as("band_idx"), col("__band.band_key").as("band_key"))
+  }
+
+  /** MinHash-LSH candidate pairs from (sid, tok) rows (doc_a < doc_b). */
+  def lshCandidatesRows(rows: DataFrame, k: Int, r: Int): DataFrame = {
+    require(k % r == 0, "k must be divisible by r")
+    val b = bandRows(minhashSigRows(rows, k), k, r)
     b.select(col("sid").as("doc_a"), col("band_idx"), col("band_key"))
       .join(b.select(col("sid").as("doc_b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** [[duplicateClusters]] over the GROUP graph — value-identical, built
+    * for corpora with large exact/near-identical families: docs sharing an
+    * identical k-minhash signature are automatically a pairwise LSH clique
+    * (equal signatures ⇒ equal band keys), so each signature group
+    * collapses to its min-sid representative BEFORE banding and label
+    * propagation. The band self-join then runs over distinct signatures
+    * only, and propagation sees each clique as ONE node — a ~500-doc
+    * near-dup family stops contributing ~125k pairs and its diameter
+    * collapses to 0. Equality with the doc-level form: gid = min sid of
+    * its group, so the component min over groups IS the component min over
+    * docs; a doc is a node iff its group has ≥2 members (intra-group
+    * pairs) or its group shares a band with another group (inter-group
+    * pair) — exactly the docs appearing in some candidate pair. The same
+    * reduction the DuckDB twin needed for tractability (d09 oracle's
+    * sgrp/gedges CTEs). Verified value-identical to the doc-level form in
+    * OpsSpec (planted corpus, exceptAll both ways) and bit-identical at
+    * sf0.1/10× against the doc-level dumps + the 10× union-find.
+    *
+    * WHEN TO USE WHICH (measured, adjacent A/B in one JVM —
+    * graft.AbClusters): on a pairs-SPARSE corpus (near-dups rotated apart,
+    * like the testdata and its 10× upscale) the doc-level form is ~10-30%
+    * faster (5.0-5.8 s vs 5.5-7.8 s at sf0.1; 11.9-14.1 vs 12.5-16.4 s at
+    * 10×) — the collapse's signature-window shuffle and extra checkpoints
+    * buy nothing when groups are singletons. The moment VERBATIM families
+    * appear (boilerplate pages — every real web crawl), doc pairs grow
+    * quadratically per family and the collapse wins outright: with 200
+    * docs × 300 verbatim copies planted on sf0.1, 7.3-8.6 s vs 35-39 s
+    * doc-level (~5×), identical 61,794-row output. The driver queries
+    * default to the doc-level form because the gate corpus is
+    * pairs-sparse; a verbatim-heavy corpus should switch.
+    *
+    * rows: (sid, tok) shingle rows. Output: (sid, cluster) like
+    * [[duplicateClusters]].
+    */
+  def duplicateClustersCollapsed(rows: DataFrame, k: Int, r: Int,
+                                 maxIters: Int = 20): DataFrame = {
+    require(k % r == 0, "k must be divisible by r")
+    // the signature frame feeds the group map AND the representative bands
+    val sig = minhashSigRows(rows, k).localCheckpoint(true)
+    val bySig = Window.partitionBy((0 until k).map(j => col(s"m$j")): _*)
+    // per-signature-group state is bounded by one duplicate family's size,
+    // never the corpus
+    val grp = sig.select(col("sid"),
+        min(col("sid")).over(bySig).as("gid"),
+        count(lit(1)).over(bySig).as("gsz"))
+      .localCheckpoint(true) // feeds representative pick + final join-back
+    val reps = grp.where(col("sid") === col("gid")).select("sid")
+    val b = bandRows(sig.join(reps, "sid"), k, r)
+    val gpairs = b.select(col("sid").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(b.select(col("sid").as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val glab = duplicateClusters(gpairs, maxIters)
+      .select(col("sid").as("gid"), col("cluster"))
+    grp.join(glab, Seq("gid"), "left")
+      .where(col("gsz") >= 2 || col("cluster").isNotNull)
+      .select(col("sid"), coalesce(col("cluster"), col("gid")).as("cluster"))
   }
 
   /** Exact Jaccard over (sid, tok) rows for given candidate pairs — same

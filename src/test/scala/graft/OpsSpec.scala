@@ -133,6 +133,22 @@ class OpsSpec extends SparkSpec {
     assert(withJ.where(col("jaccard") >= 0.9).count() > 0)
   }
 
+  test("duplicateClustersCollapsed equals the doc-level form on a planted corpus") {
+    // real corpus + verbatim copies: copies form signature-identical
+    // cliques (the collapse path), corpus near-dups give inter-group edges
+    val base = Tables.documents(spark, Sf)
+      .select(col("doc_id").cast("long").as("sid"), col("text"))
+    val planted = base.unionByName(
+      base.where(col("sid") % 5 === 0).withColumn("sid", col("sid") + 10000L))
+    val rows = DedupOps.shingleRows(planted, "sid", "text", 8, dedup = false)
+      .localCheckpoint(true)
+    val plain = DedupOps.duplicateClusters(
+      DedupOps.lshCandidatesRows(rows, k = 16, r = 4))
+    val fast = DedupOps.duplicateClustersCollapsed(rows, k = 16, r = 4)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty)
+  }
+
   test("simhash: equal token multisets equal; hamming-near for near-identical") {
     val df = Seq((1L, Seq(100, 200, 300, 400)), (2L, Seq(400, 300, 200, 100)),
       (3L, Seq(100, 200, 300, 401))).toDF("id", "tokens")

@@ -70,5 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_fingerprint"),
       new ExpressionInfo(classOf[TokenFingerprint].getName, "token_fingerprint"),
       (children: Seq[Expression]) => TokenFingerprint(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
+      (children: Seq[Expression]) => WindowHashes(children(0), children(1))))
   }
 }

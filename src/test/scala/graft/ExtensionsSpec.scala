@@ -18,8 +18,13 @@ class ExtensionsSpec extends SparkSpec {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
+      // withExtensions = the same injection hook `spark.sql.extensions=
+      // graft.functions.GraftExtensions` runs through at spark-submit; the
+      // string conf is STATIC and cannot take effect when this test reuses
+      // the suite's already-running SparkContext, so the builder form is
+      // the in-JVM way to exercise it
       val s2 = SparkSession.builder().master("local[2]")
-        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .withExtensions(new graft.functions.GraftExtensions)
         .getOrCreate()
       // token_fingerprint: acc = (acc·31 + t) mod 1e9+7 over the array
       val fp = s2.sql("SELECT token_fingerprint(array(1, 2, 3)) AS f")

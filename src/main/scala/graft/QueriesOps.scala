@@ -162,6 +162,24 @@ object QueriesOps {
       DedupOps.duplicateClusters(
         DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4))),
 
+    // cross-doc LINE-level exact dedup (RefinedWeb terminal-line dedup):
+    // decorated multi-line raw — per-variant header (df≈n/3), a pair line
+    // shared by exactly 2 docs (the ldf == maxDocFreq boundary, KEPT),
+    // the unique body, an every-5th promo, a corpus-wide footer; lines in
+    // >2 docs are excised and the residual reassembly is md5-checked
+    "d17_line_dedup" -> ((s, dir) => {
+      val did = col("doc_id")
+      val raw = concat(
+        lit("header v"), (did % 3).cast("string"), lit("\n"),
+        lit("pair "), expr("doc_id div 2").cast("string"), lit("\n"),
+        col("text"), lit("\n"),
+        when(did % 5 === 0, lit("promo line\n")).otherwise(lit("")),
+        lit("(c) footer"))
+      graft.ops.CurationOps.lineDedup(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+          .select(did.as("did"), raw.as("raw")), maxDocFreq = 2)
+    }),
+
     // quality-aware keep decision per near-dup component: the d09
     // clustering composed with the t02 quality score — keep the
     // highest-quality member of each cluster (ties → min id), the
@@ -723,6 +741,28 @@ object QueriesOps {
 
     // the d09 closure CTEs + quality per member; representative = min sid
     // among the cluster's max-quality members (the struct-max tie-break)
+    "d17_line_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS did,
+        |    'header v' || cast(doc_id % 3 AS varchar) || chr(10)
+        |    || 'pair ' || cast(doc_id // 2 AS varchar) || chr(10)
+        |    || text || chr(10)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN 'promo line' || chr(10) ELSE '' END)
+        |    || '(c) footer' AS raw
+        |  FROM documents),
+        |lns AS (
+        |  SELECT did, i - 1 AS idx, l[i] AS line
+        |  FROM (SELECT did, string_split(raw, chr(10)) AS l,
+        |               unnest(range(1, len(string_split(raw, chr(10))) + 1)) AS i
+        |        FROM raw)),
+        |lf AS (SELECT line, count(*) AS ldf
+        |       FROM (SELECT DISTINCT did, line FROM lns) GROUP BY 1)
+        |SELECT did, count(*) AS n_lines,
+        |  cast(sum(CASE WHEN ldf <= 2 THEN 1 ELSE 0 END) AS bigint) AS kept,
+        |  cast(sum(CASE WHEN ldf > 2 THEN 1 ELSE 0 END) AS bigint) AS dropped,
+        |  md5(coalesce(string_agg(CASE WHEN ldf <= 2 THEN line END, chr(10) ORDER BY idx), '')) AS residual_md5
+        |FROM lns JOIN lf USING (line) GROUP BY did""".stripMargin,
+
     "d16_cluster_canon" -> (ClusterCtes +
       s""",
          |clu AS (SELECT s.sid, min(r.l) AS cluster

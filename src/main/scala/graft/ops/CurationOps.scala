@@ -255,6 +255,41 @@ object CurationOps {
     * exactly by the interval merge: novelty says "how much is shared",
     * spans say "where, and in how many contiguous pieces".
     */
+  /** Cross-document LINE-level exact dedup — RefinedWeb/CCNet's terminal
+    * line dedup, the line-structured sibling of the window ([[duplicatedSpans]])
+    * and whole-doc forms: a line appearing in MORE than `maxDocFreq`
+    * distinct documents is boilerplate (headers, footers, cookie banners)
+    * and is excised from every document; per document the operator reports
+    * line counts and the md5 of the line-order-preserving residual text
+    * (strong value check — a reconstruction bug cannot hide in counts).
+    *
+    * Shape at scale: one explode per doc, a distinct + map-side-combined
+    * count on the line (line doc-frequency), one equi-join of the line
+    * rows back against that frequency table (sizes are corpus-driven —
+    * Catalyst picks broadcast vs shuffle by stats), and one per-doc
+    * aggregate; the residual reassembly sorts only within one document's
+    * collected lines. No pairwise comparison, no window over the corpus.
+    *
+    * framed: (did, raw) with '\n' line separators.
+    */
+  def lineDedup(framed: DataFrame, maxDocFreq: Long): DataFrame = {
+    val lines = framed.select(col("did"),
+      posexplode(split(col("raw"), "\n")).as(Seq("idx", "line")))
+    val ldf = lines.select("did", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("ldf"))
+    lines.join(ldf, "line")
+      .groupBy("did").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("ldf") <= maxDocFreq, 1L).otherwise(0L)).as("kept"),
+        sum(when(col("ldf") > maxDocFreq, 1L).otherwise(0L)).as("dropped"),
+        // collect_list skips the nulls the `when` leaves for dropped lines;
+        // the per-doc sort restores line order before the reassembly
+        md5(concat_ws("\n", transform(
+          array_sort(collect_list(when(col("ldf") <= maxDocFreq,
+            struct(col("idx"), col("line"))))),
+          x => x.getField("line")))).as("residual_md5"))
+  }
+
   def duplicatedSpans(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
     val win = docs.select(col("doc_id").as("sid"), col("n_chars"),
         posexplode(graft.functions.WindowHashes.of(col("text"), n)).as(Seq("pos", "sub")))

@@ -216,6 +216,25 @@ class CurationSpec extends SparkSpec {
     assert(CurationOps.tokenBudgetSelect(scored, num = 1, den = 1).count() === scored.count())
   }
 
+  test("lineDedup drops >maxDocFreq lines, keeps the boundary, md5s the residual") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val framed = Seq(
+      (1L, "shared\nunique-a\npair"),
+      (2L, "shared\nunique-b\npair"),
+      (3L, "shared\nunique-c")
+    ).toDF("did", "raw")
+    // ldf: shared=3 (dropped), pair=2 (== maxDocFreq, KEPT), unique-*=1
+    val got = graft.ops.CurationOps.lineDedup(framed, maxDocFreq = 2)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 2L, 1L, md5hex("unique-a\npair"))))
+    assert(got(2L) === ((2L, 3L, 2L, 1L, md5hex("unique-b\npair"))))
+    assert(got(3L) === ((3L, 2L, 1L, 1L, md5hex("unique-c"))))
+  }
+
   test("apply-vocab: ids match a sequentially-built top-32 vocab, OOV = 0") {
     import spark.implicits._
     // sequential reference vocab: top-32 tokens by (freq desc, tok asc)

@@ -173,6 +173,43 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot === exp)
   }
 
+  test("watermarked aggregate DROPS rows arriving later than the watermark") {
+    // explicit late-data semantics, not just drained-input parity: batch 1
+    // advances the watermark past window A; a window-A row in batch 2 is
+    // late and must not resurrect or amend the emitted aggregate
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = mem.toDF().toDF("event_ts", "cents")
+      .withWatermark("event_ts", "10 seconds")
+      .groupBy(window(col("event_ts"), "60 seconds"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .select(col("window.start").as("w"), col("n"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("latedrop")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      mem.addData((ts(10), 1L), (ts(20), 2L))   // window A [0,60)
+      q.processAllAvailable()
+      mem.addData((ts(200), 4L))                // watermark → 190 s, closes A
+      q.processAllAvailable()
+      mem.addData((ts(30), 8L))                 // LATE row for closed window A
+      q.processAllAvailable()
+      mem.addData((ts(400), 16L))               // advances watermark, closes B
+      q.processAllAvailable()
+      val out = spark.table("latedrop")
+        .collect().map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getLong(2))).toMap
+      // tumbling windows align to the epoch: 1.7e9 s ≡ 20 (mod 60), so
+      // window A starts at base−20 s and the 200 s row's at base+160 s
+      // window A emitted with ONLY the pre-watermark rows — the late 8L is gone
+      assert(out(1700000000000L - 20000L) === ((2L, 3L)))
+      assert(out(1700000000000L + 160000L) === ((1L, 4L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join on drained feeds") {
     // two live feeds derived from the same events table: even event_ids are
     // the left feed (impressions), odd the right (follow-ups); correlate

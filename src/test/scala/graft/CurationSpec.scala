@@ -235,6 +235,35 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) === ((3L, 2L, 1L, 1L, md5hex("unique-c"))))
   }
 
+  test("lineDedup == sequential reference on random multi-line corpora") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // small line vocabulary → plenty of cross-doc collisions and
+    // within-doc repeats; 1-6 lines per doc
+    val lineGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, lineGen))
+    Seq(11L, 42L).foreach { seed =>
+      val corpus = Gen.listOfN(30, docGen)
+        .pureApply(Gen.Parameters.default, Seed(seed)).zipWithIndex
+        .map { case (ls, i) => ((i + 1).toLong, ls.mkString("\n")) }
+      val got = graft.ops.CurationOps.lineDedup(corpus.toDF("did", "raw"), maxDocFreq = 3)
+        .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      val ldf = corpus.flatMap { case (id, raw) => raw.split("\n", -1).distinct.map(id -> _) }
+        .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val exp = corpus.map { case (id, raw) =>
+        val lines = raw.split("\n", -1).toSeq
+        val keptLines = lines.filter(l => ldf(l) <= 3)
+        id -> ((id, lines.size.toLong, keptLines.size.toLong,
+          (lines.size - keptLines.size).toLong, md5hex(keptLines.mkString("\n"))))
+      }.toMap
+      assert(got === exp, s"seed $seed")
+    }
+  }
+
   test("apply-vocab: ids match a sequentially-built top-32 vocab, OOV = 0") {
     import spark.implicits._
     // sequential reference vocab: top-32 tokens by (freq desc, tok asc)

@@ -162,6 +162,22 @@ object QueriesOps {
       DedupOps.duplicateClusters(
         DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4))),
 
+    // cross-SOURCE overlap matrix: LSH candidate pairs rolled up by the
+    // (unordered) source pair — "which sources duplicate each other", the
+    // dashboard view that decides inter-source dedup priorities; two
+    // equi-joins to attach sources, one aggregate
+    "d18_source_overlap" -> ((s, dir) => {
+      val pairs = DedupOps.lshCandidatesRows(
+        shingleRows(s, dir, dedup = false), k = 16, r = 4)
+      val src = docs(s, dir).select(col("doc_id").as("sid"), col("source"))
+      pairs
+        .join(src.select(col("sid").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("sid").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // cross-doc LINE-level exact dedup (RefinedWeb terminal-line dedup):
     // decorated multi-line raw — per-variant header (df≈n/3), a pair line
     // shared by exactly 2 docs (the ldf == maxDocFreq boundary, KEPT),
@@ -741,6 +757,15 @@ object QueriesOps {
 
     // the d09 closure CTEs + quality per member; representative = min sid
     // among the cluster's max-quality members (the struct-max tie-break)
+    "d18_source_overlap" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
+      """SELECT least(a.source, b.source) AS source_lo,
+        |  greatest(a.source, b.source) AS source_hi,
+        |  count(*) AS n_pairs
+        |FROM spairs p
+        |JOIN documents a ON a.doc_id = p.doc_a
+        |JOIN documents b ON b.doc_id = p.doc_b
+        |GROUP BY 1, 2""".stripMargin),
+
     "d17_line_dedup" ->
       """WITH raw AS (
         |  SELECT doc_id AS did,

@@ -237,6 +237,19 @@ object QueriesPipeline {
         .select("user_id", "bucket", "cnt", "tot", "nb")
     }),
 
+    // trailing-hour event rate per user via a RANGE window frame over the
+    // event-time axis (the frame type nothing else exercises): peer rows
+    // with equal timestamps are included on both engines, and frame state
+    // is bounded by one user's events inside one hour, never the partition
+    "e10_trailing_rate" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3599999999L, 0)
+      ev.withColumn("events_1h", count(lit(1)).over(w))
+        .select("event_id", "user_id", "us", "events_1h")
+    }),
+
     // retention cohorts: users bucketed by first-seen day, counted in
     // each later day they return — the (cohort, offset) matrix every
     // behavioral pipeline reports. Two user-keyed aggregates, no windows
@@ -929,6 +942,12 @@ object QueriesPipeline {
         |SELECT b.user_id, b.bucket, b.cnt, st.tot, st.nb
         |FROM b JOIN st USING (user_id)
         |WHERE b.cnt * st.nb * 2 >= st.tot * 3""".stripMargin,
+
+    "e10_trailing_rate" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS events_1h
+        |FROM events""".stripMargin,
 
     "e08_retention" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -260,6 +260,19 @@ object QueriesOps {
     "t13_keywords" -> ((s, dir) =>
       Retrieval.tfidfKeywords(docs(s, dir), m = 3)),
 
+    // corpus data-card report (the datasheet block every released corpus
+    // publishes): doc/char/token totals, source and distinct-text
+    // cardinalities, summed quality — ONE map-side-combined aggregate
+    // pass, every statistic an exact integer
+    "t14_corpus_card" -> ((s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(TextOps.wordCount(col("text"))).as("n_ws_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        sum(TextOps.qualityScore(col("text"))).as("sum_quality"))),
+
     "t01_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("did"),
         TextOps.langIdHeuristic(col("text")).as("lang_pred"), col("lang"))),
@@ -1000,6 +1013,15 @@ object QueriesOps {
 
     "t02_quality" ->
       s"SELECT doc_id AS did, $QualitySql AS quality FROM documents",
+
+    "t14_corpus_card" ->
+      s"""SELECT count(*) AS n_docs,
+         |  cast(sum(length(text)) AS bigint) AS n_chars,
+         |  cast(sum(len(list_filter(string_split(text, ' '), w -> length(w) > 0))) AS bigint) AS n_ws_tokens,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(DISTINCT md5(text)) AS n_distinct_texts,
+         |  cast(sum($QualitySql) AS bigint) AS sum_quality
+         |FROM documents""".stripMargin,
 
     "t05_normalize" -> withCtes(V2Cte)(
       "SELECT doc_id, 'the quick brownfox run#' || cast(did AS varchar) || ' end' AS norm FROM v2"),

@@ -768,8 +768,8 @@ object QueriesOps {
       "\nSELECT s.sid, min(r.l) AS cluster" +
       "\nFROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid"),
 
-    // the d09 closure CTEs + quality per member; representative = min sid
-    // among the cluster's max-quality members (the struct-max tie-break)
+    // source-pair rollup over the spairs band-pair CTEs (no closure, no
+    // quality): attach each pair end's source, count per unordered pair
     "d18_source_overlap" -> withCtes(ShingCte, SigCte, BandsCte, PairsCte)(
       """SELECT least(a.source, b.source) AS source_lo,
         |  greatest(a.source, b.source) AS source_hi,
@@ -789,18 +789,20 @@ object QueriesOps {
         |    || '(c) footer' AS raw
         |  FROM documents),
         |lns AS (
-        |  SELECT did, i - 1 AS idx, l[i] AS line
+        |  SELECT did, i - 1 AS idx, l[i] AS line, md5(l[i]) AS lh
         |  FROM (SELECT did, string_split(raw, chr(10)) AS l,
         |               unnest(range(1, len(string_split(raw, chr(10))) + 1)) AS i
         |        FROM raw)),
-        |lf AS (SELECT line, count(*) AS ldf
-        |       FROM (SELECT DISTINCT did, line FROM lns) GROUP BY 1)
+        |lf AS (SELECT lh, count(*) AS ldf
+        |       FROM (SELECT DISTINCT did, lh FROM lns) GROUP BY 1)
         |SELECT did, count(*) AS n_lines,
         |  cast(sum(CASE WHEN ldf <= 2 THEN 1 ELSE 0 END) AS bigint) AS kept,
         |  cast(sum(CASE WHEN ldf > 2 THEN 1 ELSE 0 END) AS bigint) AS dropped,
         |  md5(coalesce(string_agg(CASE WHEN ldf <= 2 THEN line END, chr(10) ORDER BY idx), '')) AS residual_md5
-        |FROM lns JOIN lf USING (line) GROUP BY did""".stripMargin,
+        |FROM lns JOIN lf USING (lh) GROUP BY did""".stripMargin,
 
+    // the d09 closure CTEs + quality per member; representative = min sid
+    // among the cluster's max-quality members (the struct-max tie-break)
     "d16_cluster_canon" -> (ClusterCtes +
       s""",
          |clu AS (SELECT s.sid, min(r.l) AS cluster

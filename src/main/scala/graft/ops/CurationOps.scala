@@ -264,20 +264,27 @@ object CurationOps {
     * (strong value check — a reconstruction bug cannot hide in counts).
     *
     * Shape at scale: one explode per doc, a distinct + map-side-combined
-    * count on the line (line doc-frequency), one equi-join of the line
-    * rows back against that frequency table (sizes are corpus-driven —
-    * Catalyst picks broadcast vs shuffle by stats), and one per-doc
-    * aggregate; the residual reassembly sorts only within one document's
-    * collected lines. No pairwise comparison, no window over the corpus.
+    * count keyed on a FIXED-WIDTH line hash (md5 — never the raw line
+    * string: a hot boilerplate line ("accept cookies…", a site footer)
+    * is simultaneously the most frequent shuffle key and an unboundedly
+    * long one, so keying the distinct/count/join on the text would funnel
+    * every occurrence's full line bytes through one partition), one
+    * equi-join of the line rows back against that frequency table (sizes
+    * are corpus-driven — Catalyst picks broadcast vs shuffle by stats; the
+    * raw text rides only the per-doc side for the residual reassembly),
+    * and one per-doc aggregate; the residual reassembly sorts only within
+    * one document's collected lines. No pairwise comparison, no window
+    * over the corpus.
     *
     * framed: (did, raw) with '\n' line separators.
     */
   def lineDedup(framed: DataFrame, maxDocFreq: Long): DataFrame = {
     val lines = framed.select(col("did"),
       posexplode(split(col("raw"), "\n")).as(Seq("idx", "line")))
-    val ldf = lines.select("did", "line").distinct()
-      .groupBy("line").agg(count(lit(1)).as("ldf"))
-    lines.join(ldf, "line")
+      .withColumn("lh", md5(col("line")))
+    val ldf = lines.select("did", "lh").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("ldf"))
+    lines.join(ldf, "lh")
       .groupBy("did").agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("ldf") <= maxDocFreq, 1L).otherwise(0L)).as("kept"),

@@ -76,11 +76,13 @@ object Retrieval {
     val words = docs.select(col("doc_id"),
       explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val n = docs.count() // corpus scalar; one job, embedded as a literal
+    // corpus size as a 1-row broadcast stats aggregate (the bm25TopK form,
+    // [[bm25TopK]] `stats`) — no driver-side action, no extra corpus job
+    val nn = docs.agg(count(lit(1)).as("n"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val idf = ((lit(n) - col("df")).cast("double") + lit(0.5)) /
+    val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
-    val scored = tf.join(broadcast(dfreq), "w")
+    val scored = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(nn))
       .select(col("doc_id").as("did"), col("w").as("term"),
         (col("tf").cast("double") * idf).as("score"))
     val byDoc = org.apache.spark.sql.expressions.Window

@@ -18,11 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * gate scale) is untouched.
   *
   * All arithmetic stays in int64: h < p ≈ 1e9, code points ≤ 0x10FFFF, so
-  * c·31^{n−1} mod p products peak near 1.1e15. Characters are Unicode code
-  * points (identical to `ascii(substr(...))` on the BMP range; the corpus
-  * and its upscale emit printable ASCII). Strings shorter than n yield an
-  * empty array — `explode` then drops them, matching the windowed chain's
-  * `length ≥ n` guard.
+  * c·31^{n−1} mod p products peak near 1.1e15. Characters are Unicode CODE
+  * POINTS on the full range including the supplementary planes — the same
+  * unit Spark's `ascii(substr(...))` chain and DuckDB's fold use
+  * (`ascii('😀')` = 128512 in both engines; pinned by the non-BMP case in
+  * FingerprintPropSpec), never UTF-16 units. Strings shorter than n yield
+  * an empty array — `explode` then drops them, matching the windowed
+  * chain's `length ≥ n` guard.
   *
   * A Catalyst `BinaryExpression` with `doGenCode`, so it runs inside
   * whole-stage codegen like [[TokenFingerprint]].

@@ -120,9 +120,17 @@ object Packing {
   def lengthBatches(docs: DataFrame, batchSize: Int, parts: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    // ONE materialization feeds both passes (per-partition counts, then the
+    // rank walk): without it the repartitionByRange+sort lineage executes
+    // twice, and the ranks would additionally lean on Spark reusing
+    // identical shuffle output across the two jobs — the same
+    // branch-recompute class every other two-consumer frame here guards
+    // with localCheckpoint. Row order and partition indexing are preserved
+    // by the checkpoint, which is what the base-rank arithmetic needs.
     val ordered = docs.select("doc_id", "n_tok")
       .repartitionByRange(p, col("n_tok"), col("doc_id"))
       .sortWithinPartitions("n_tok", "doc_id")
+      .localCheckpoint(true)
     val schema = StructType(ordered.schema.fields :+ StructField("rk", LongType, nullable = false))
     val cnts = ordered.rdd
       .mapPartitionsWithIndex { (pi, it) => Iterator((pi, it.size.toLong)) }

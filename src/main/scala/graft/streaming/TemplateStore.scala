@@ -56,9 +56,10 @@ object TemplateStore {
   /** Merge this run's template definitions over the persisted state (latest
     * per (exporter, templateId) wins) and commit a new snapshot version.
     * Two-phase: parquet lands under the new ver dir first; CURRENT swaps by
-    * atomic rename only afterwards.
+    * atomic rename only afterwards. `keepVersions` bounds snapshot retention
+    * (see the prune note below for what an outstanding lazy reader needs).
     */
-  def save(recs: Dataset[NfRec], base: String): Long = {
+  def save(recs: Dataset[NfRec], base: String, keepVersions: Int = 2): Long = {
     val spark = recs.sparkSession
     Files.createDirectories(Paths.get(base))
     val merged = load(spark, base).toDF()
@@ -75,13 +76,17 @@ object TemplateStore {
       StandardCopyOption.REPLACE_EXISTING)
     // superseded snapshots are garbage once the pointer has swapped —
     // without this the store directory grows by one snapshot per run. The
-    // prune lags ONE version (keep current + previous): a decode that
-    // warm-started from the previous snapshot may still be lazily reading
-    // its parquet while this save commits the next one
+    // prune keeps the newest `keepVersions` (default current + previous):
+    // a decode that warm-started from snapshot v is lazily reading v's
+    // parquet until it is materialized, so each unconsumed
+    // decodeBatchResumable result tolerates at most keepVersions−1
+    // subsequent save() calls before its backing files are deleted —
+    // callers holding more outstanding lazy decodes raise keepVersions
+    val keep = math.max(keepVersions, 1)
     val dir = Paths.get(base).toFile
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.getName.startsWith("ver=") &&
-        f.getName.stripPrefix("ver=").toLongOption.exists(_ < ver - 1)) {
+        f.getName.stripPrefix("ver=").toLongOption.exists(_ <= ver - keep)) {
         def rm(x: java.io.File): Unit = {
           Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
           x.delete(); ()

@@ -146,6 +146,37 @@ class PlanAuditSpec extends SparkSpec {
       !phys.contains("BroadcastNestedLoopJoin"), s"non-equi join in d16:\n$phys")
   }
 
+  test("d17 line dedup joins on the fixed-width md5 key, never the raw line (300-copy footer)") {
+    import spark.implicits._
+    // a planted boilerplate footer: ~1.9 KB of text appearing in 300 docs —
+    // the hot-key-and-long-key combination that made the raw-line join the
+    // one perf_weak construct of round 5
+    val footer = "accept cookies and subscribe to our newsletter " * 40
+    val framed = (1 to 300).map(i => (i.toLong, s"unique body $i\n$footer\nalso unique $i"))
+      .toDF("did", "raw")
+    val out = graft.ops.CurationOps.lineDedup(framed, maxDocFreq = 2)
+    val rows = out.collect()
+    assert(rows.length == 300 &&
+      rows.forall(r => r.getAs[Long]("n_lines") == 3 &&
+        r.getAs[Long]("kept") == 2 && r.getAs[Long]("dropped") == 1),
+      "every doc keeps its 2 unique lines and drops the footer")
+    // the doc-frequency join and distinct must key on lh (md5, fixed 32
+    // chars) — keyed on the raw line, each of the footer's 300 occurrences
+    // would carry its ~1.9 KB text into one shuffle partition
+    val joins = out.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val c = j.condition.map(_.toString).getOrElse("")
+      assert(c.contains("lh#"), s"join must key on the md5 hash, got: $c")
+      assert(!c.contains("line#"), s"raw line text used as a join key: $c")
+    }
+    val aggs = out.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    aggs.foreach { a =>
+      assert(!a.groupingExpressions.exists(_.toString.contains("line#")),
+        s"raw line text used as a grouping key:\n${a.groupingExpressions}")
+    }
+  }
+
   test("k10 token-budget selection has no window over corpus-sized input") {
     val q = SparkEntry.queries("k10_token_budget")(spark, Sf)
     val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }

@@ -88,7 +88,7 @@ object Oracles {
     * shingles collide across ~38% of all doc pairs — measured at sf0.1 —
     * which would make the Jaccard verify stage quadratic).
     */
-  val ShingCte: String = {
+  def shingCteOver(table: String): String = {
     val hash = (0 until 8).foldLeft("cast(0 AS bigint)") { (acc, j) =>
       s"($acc*31 + ascii(substr(text, cast(i+$j AS int), 1)))"
     }
@@ -96,8 +96,10 @@ object Oracles {
        |  SELECT doc_id AS sid,
        |    list_distinct(list_transform(range(1, greatest(length(text)-7, 0)+1),
        |      i -> cast($hash % 2147483647 AS int))) AS stoks
-       |  FROM documents)""".stripMargin
+       |  FROM $table)""".stripMargin
   }
+
+  val ShingCte: String = shingCteOver("documents")
 
   private val P = 2147483647L
   def mhA(j: Int): Long = (2654435761L * (j + 1)) % P

@@ -196,6 +196,27 @@ object QueriesOps {
           .select(did.as("did"), raw.as("raw")), maxDocFreq = 2)
     }),
 
+    // clustering over a VERBATIM-family corpus (every real crawl's
+    // boilerplate regime): 20 exact copies per family — each family's text
+    // is its head's text replicated — where doc pairs grow quadratically
+    // per family and the signature-group-collapsed propagation wins ~5×
+    // over doc-level (measured, DedupOps scaladoc). d09 keeps the
+    // doc-level form on the pairs-sparse gate corpus; this keeps the
+    // collapsed path oracle-exercised on the corpus shape it exists for
+    "d19_clusters_verbatim" -> ((s, dir) => {
+      val fam = docs(s, dir)
+        .select(col("doc_id"), expr("doc_id div 20").as("fam"), col("text"))
+      val headIds = fam.groupBy("fam").agg(min("doc_id").as("hid"))
+      val heads = fam.join(headIds, "fam").where(col("doc_id") === col("hid"))
+        .select(col("fam"), col("text").as("htext"))
+      val vdocs = fam.drop("text").join(heads, "fam")
+        .select(col("doc_id"), col("htext").as("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      DedupOps.duplicateClustersCollapsed(
+        DedupOps.shingleRows(vdocs, "doc_id", "text", 8, dedup = false),
+        k = 16, r = 4)
+    }),
+
     // quality-aware keep decision per near-dup component: the d09
     // clustering composed with the t02 quality score — keep the
     // highest-quality member of each cluster (ties → min id), the
@@ -698,8 +719,15 @@ object QueriesOps {
     * O(clique³) in the oracle engine). Ends at `greach`; consumers append
     * their final SELECT (and further CTEs via a leading comma).
     */
-  private lazy val ClusterCtes: String = "WITH RECURSIVE " +
-    Seq(ShingCte, SigCte, BandsCte, PairsCte).mkString(",\n") +
+  private lazy val ClusterCtes: String = clusterCtes()
+
+  /** The group-graph closure CTE stack over a configurable corpus CTE:
+    * `pre` (optional, e.g. the d19 verbatim-family rewrite) precedes the
+    * shingle CTE, which reads from `shingSrc`.
+    */
+  private def clusterCtes(pre: String = "", shingSrc: String = "documents"): String =
+    "WITH RECURSIVE " + (if (pre.isEmpty) "" else pre + ",\n") +
+    Seq(Oracles.shingCteOver(shingSrc), SigCte, BandsCte, PairsCte).mkString(",\n") +
     """,
       |nodes AS (SELECT DISTINCT sid FROM (
       |  SELECT doc_a AS sid FROM spairs UNION ALL SELECT doc_b FROM spairs)),
@@ -765,6 +793,20 @@ object QueriesOps {
     // the group graph stays tiny at any scale. cluster(sid) = min reachable
     // group id = component min sid, identical to the doc-level closure.
     "d09_dup_clusters" -> (ClusterCtes +
+      "\nSELECT s.sid, min(r.l) AS cluster" +
+      "\nFROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid"),
+
+    // the same group-graph closure over the verbatim-family corpus: every
+    // doc carries its family head's text (head = min doc_id of doc_id//20)
+    "d19_clusters_verbatim" -> (clusterCtes(
+      pre = """vdocs AS (
+        |  SELECT d.doc_id, h.text
+        |  FROM documents d
+        |  JOIN (SELECT doc_id // 20 AS fam, text,
+        |          row_number() OVER (PARTITION BY doc_id // 20 ORDER BY doc_id) AS rn
+        |        FROM documents) h
+        |    ON h.fam = d.doc_id // 20 AND h.rn = 1)""".stripMargin,
+      shingSrc = "vdocs") +
       "\nSELECT s.sid, min(r.l) AS cluster" +
       "\nFROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid"),
 

@@ -21,7 +21,8 @@ object ExplainAudit {
         "i05_hard_negatives", "k13_strat_sample", "t11_substr_novelty",
         "a06_ann_pq", "a07_ann_ivfpq", "d14_dup_spans", "t12_gopher_rules",
         "d16_cluster_canon", "i06_bm25", "t13_keywords", "m04_media_neardup",
-        "k14_apply_vocab", "d17_line_dedup", "d18_source_overlap")
+        "k14_apply_vocab", "d17_line_dedup", "d18_source_overlap",
+        "d19_clusters_verbatim")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -630,6 +630,32 @@ object QueriesPipeline {
           element_at(col("fields"), 4).as("in_bytes"))
     }),
 
+    // REFERENCE-COMPAT v9 framing end-to-end (the migrant flag —
+    // v9FlowsetWalk(referenceCompat = true)): the same corpus as p27
+    // through the reference binary's exact parse behavior. Two
+    // oracle-visible consequences of the emulated quirks: the template
+    // flowset's SECOND back-to-back entry (tid+200) never registers — the
+    // whole-buffer loop guard stops a trailing flowset after one entry — so
+    // did%10==3 data is undecodable here (decoded in p27); and did%10==9
+    // multi-flowset packets contribute NO data rows at all (only their
+    // first — template — flowset is parsed; its over-read garbage
+    // registrations carry the group's highest seq, so they can't affect
+    // any earlier data record). Everything single-flowset matches p27.
+    "p33_netflow_v9_compat" -> ((s, dir) => {
+      import s.implicits._
+      val recs = graft.operators.BinaryDecode.v9FlowsetWalk(
+        Tables.nfV9Packets(s, dir), referenceCompat = true)
+      val ds = nfRecsOf(s, recs)
+      graft.streaming.Templates.decodeBatch(ds).toDF()
+        .select(col("exporter").cast("long").as("exporter_id"),
+          col("templateId").as("template_id"), col("seq"),
+          col("recIdx").as("rec_idx"), col("decoded"),
+          element_at(col("fields"), 1).as("srcaddr"),
+          element_at(col("fields"), 2).as("src_port"),
+          element_at(col("fields"), 3).as("dst_port"),
+          element_at(col("fields"), 4).as("in_bytes"))
+    }),
+
     // REAL tab-separated file scan with '#' comment skipping (the §2.1 Zeek
     // reader config — reference src/parser/zeek.rs:71-79): a staged fixture
     // FILE is written, then read back through the csv reader; the oracle
@@ -1156,6 +1182,27 @@ object QueriesPipeline {
         |                             WHEN did % 10 IN (1, 5, 7) THEN 1
         |                             ELSE 1 + did % 2 END)) AS j
         |      FROM v2 WHERE did % 10 <> 0)""".stripMargin),
+
+    // p27's twin under the reference's framing quirks: class 3 references
+    // the template flowset's second entry, which the whole-buffer loop
+    // guard never registers → one undecoded marker row; class 9's 7 data
+    // flowsets follow its first flowset and are never framed → absent
+    "p33_netflow_v9_compat" -> withCtes(V2Cte)(
+      """SELECT
+        |  cast((did//10) % 4294967296 AS bigint) AS exporter_id,
+        |  cast(CASE WHEN did % 10 = 5 THEN 256 + (did//10) % 100 + 101
+        |            WHEN did % 10 = 3 THEN 256 + (did//10) % 100 + 200
+        |            ELSE 256 + (did//10) % 100 END AS int) AS template_id,
+        |  CASE WHEN did % 10 = 1 THEN did + 8 ELSE did + 10 END AS seq,
+        |  cast(j AS int) AS rec_idx,
+        |  did % 10 NOT IN (1, 3, 5) AS decoded,
+        |  CASE WHEN did % 10 IN (1, 3, 5) THEN NULL ELSE ((did % 1000003) * 2654435761 + j * 7919) % 4294967296 END AS srcaddr,
+        |  CASE WHEN did % 10 IN (1, 3, 5) THEN NULL ELSE 1024 + (did + j) % 60000 END AS src_port,
+        |  CASE WHEN did % 10 IN (1, 3, 5) THEN NULL ELSE 443 END AS dst_port,
+        |  CASE WHEN did % 10 IN (1, 3, 5) THEN NULL ELSE (did + j) % 4294967296 END AS in_bytes
+        |FROM (SELECT *, unnest(range(CASE WHEN did % 10 IN (1, 3, 5, 7) THEN 1
+        |                             ELSE 1 + did % 2 END)) AS j
+        |      FROM v2 WHERE did % 10 NOT IN (0, 9))""".stripMargin),
 
     "f01_file_scan" -> withCtes(V2Cte)(
       """SELECT did,

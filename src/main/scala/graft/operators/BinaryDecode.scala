@@ -270,8 +270,14 @@ object BinaryDecode {
     * cannot hold a flowset header end the walk; `truncated` is always
     * false here (nothing is ever cut short by a bound), kept for schema
     * parity with the Catalyst form's loss accounting.
+    *
+    * `referenceCompat = true` reproduces the reference binary's framing
+    * BIT-FOR-BIT instead (for migrants who need identical output on quirky
+    * packets — see [[v9FlowsetWalkCompat]] for the exact emulated behaviors).
     */
-  def v9FlowsetWalk(packets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def v9FlowsetWalk(packets: org.apache.spark.sql.DataFrame,
+                    referenceCompat: Boolean = false): org.apache.spark.sql.DataFrame = {
+    if (referenceCompat) return v9FlowsetWalkCompat(packets)
     import packets.sparkSession.implicits._
     packets.select(col("doc_id").cast("string"), col("packet"))
       .as[(String, Array[Byte])]
@@ -343,6 +349,159 @@ object BinaryDecode {
             }
           }
           out.result().iterator
+        }
+      }.toDF("doc_id", "exporter", "template_id", "seq", "is_template",
+        "field_types", "widths", "scope_cnt", "payload", "max_recs", "truncated")
+  }
+
+  /** REFERENCE-COMPAT v9 framing: reproduces the reference binary's parse
+    * behavior exactly, quirks included, for migrants who need bit-identical
+    * output on packets where the RFC walk and the reference disagree.
+    * Emulated from src/parser/netflow.rs:84-140 and
+    * src/parser/netflow/packet.rs:305-400:
+    *
+    *  1. ONE flowset header is read per packet (netflow.rs:84); whatever
+    *     follows the first flowset is never framed as a flowset.
+    *  2. The template-entry loops guard on `remained + 4 < flowset_length`
+    *     where `remained` is the WHOLE remaining packet buffer
+    *     (packet.rs:336-340,363-367). Consequences, all reproduced here:
+    *     a trailing template flowset registers only its FIRST entry (after
+    *     one entry the buffer has < flowset_length-4 bytes left); a
+    *     NON-trailing one keeps reading "entries" past the flowset end into
+    *     the following flowsets' bytes, registering garbage templates.
+    *  3. `read_type_value_pairs` (packet.rs:311-328) always reads at least
+    *     ONE pair — a field_count=0 template entry still consumes 4 bytes
+    *     and registers one bogus (type, length) pair — and reads whole
+    *     pairs until the BYTE count is met, so a 6-byte scope length reads
+    *     2 pairs (8 bytes), not 1.5.
+    *  4. Any read past the buffer end is a hard error that drops EVERY
+    *     entry of the current parse call (`?` propagation out of the entry
+    *     loop, packet.rs:341-343) — all-or-nothing, unlike the RFC walk's
+    *     keep-what-fits.
+    *  5. Options entries consume `flowset_length - (10 + field_count*4)`
+    *     padding EACH (packet.rs:394-397). When that u16 subtraction
+    *     underflows (release-mode wrap) or the padding runs past the buffer
+    *     end, the next header read fails and the call's entries are dropped
+    *     (behavior 4) — emulated as the same all-or-nothing drop.
+    *  6. Data-set payload runs to the BUFFER end, not the flowset end
+    *     (packet.rs:473 loops on `remained()` and the header count,
+    *     ignoring flowset_length) — the downstream decode's `max_recs`
+    *     header-count bound is what actually stops the record loop.
+    *
+    * The collector's `for _i in 0..header.count` re-invocation of the
+    * template parsers (netflow.rs:92-100) is a no-op after the first call —
+    * the loop guard fails immediately once the buffer has drained below
+    * `flowset_length - 4` — so a single emulated call is exact, except
+    * `count = 0`, which makes ZERO calls: no templates register at all.
+    */
+  def v9FlowsetWalkCompat(packets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import packets.sparkSession.implicits._
+    packets.select(col("doc_id").cast("string"), col("packet"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (docId, c) =>
+        def u16(o: Int): Int = ((c(o) & 0xff) << 8) | (c(o + 1) & 0xff)
+        def u32(o: Int): Long =
+          ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
+            ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
+        // header (20B) + the single flowset header (4B): a shorter buffer
+        // fails the reference's read_u16 and yields no events
+        if (c.length < 24 || u16(0) != 9) Iterator.empty
+        else {
+          val maxRecs = u16(2)
+          val seq = u32(12)
+          val exporter = u32(16).toString
+          val hex = "0123456789abcdef"
+          def hexOf(from: Int, until: Int): String = {
+            val sb = new java.lang.StringBuilder((until - from) * 2)
+            var i = from
+            while (i < until) {
+              sb.append(hex.charAt((c(i) & 0xf0) >> 4)).append(hex.charAt(c(i) & 0x0f))
+              i += 1
+            }
+            sb.toString
+          }
+          val fsId = u16(20)
+          val fsLen = u16(22)
+          var t = 24
+          var failed = false
+          // reads ceil(len/4) pairs, at least one even for len = 0; sets
+          // `failed` on EOF (the reference's ? propagation)
+          def readPairs(len: Int): (Seq[Int], Seq[Int]) = {
+            val types = Seq.newBuilder[Int]
+            val widths = Seq.newBuilder[Int]
+            var read = 0
+            var stop = false
+            while (!stop && !failed) {
+              if (t + 4 > c.length) failed = true
+              else {
+                types += u16(t)
+                widths += u16(t + 2) * 2
+                t += 4
+                read += 4
+                if (read >= len || t >= c.length) stop = true
+              }
+            }
+            (types.result(), widths.result())
+          }
+          if (fsId == 0) {
+            // the collector re-invokes the parser `for _i in 0..header.count`
+            // (netflow.rs:92-96): count = 0 means ZERO calls — no templates
+            if (maxRecs == 0) Iterator.empty
+            else {
+            val entries = Seq.newBuilder[V9Rec]
+            var done = false
+            while (!done && !failed) {
+              if (t >= c.length || (c.length - t) + 4 < fsLen) done = true
+              else if (t + 4 > c.length) failed = true
+              else {
+                val tid = u16(t)
+                val cnt = u16(t + 2)
+                t += 4
+                val (types, widths) = readPairs(cnt * 4)
+                if (!failed)
+                  entries += V9Rec(docId, exporter, tid, seq, is_template = true,
+                    types, widths, 0, "", maxRecs, truncated = false)
+              }
+            }
+            if (failed) Iterator.empty else entries.result().iterator
+            }
+          } else if (fsId == 1) {
+            if (maxRecs == 0) Iterator.empty
+            else {
+            val entries = Seq.newBuilder[V9Rec]
+            var done = false
+            while (!done && !failed) {
+              if (t >= c.length || (c.length - t) + 4 < fsLen) done = true
+              else if (t + 6 > c.length) failed = true
+              else {
+                val tid = u16(t)
+                val scopeLen = u16(t + 2)
+                val optLen = u16(t + 4)
+                t += 6
+                val (sTypes, sWidths) =
+                  if (scopeLen > 0) readPairs(scopeLen) else (Seq.empty[Int], Seq.empty[Int])
+                val (oTypes, oWidths) =
+                  if (!failed && optLen > 0) readPairs(optLen) else (Seq.empty[Int], Seq.empty[Int])
+                if (!failed) {
+                  val fieldCount = sTypes.length + oTypes.length
+                  val pad = fsLen - (10 + fieldCount * 4)
+                  if (pad < 0 || t + pad > c.length) failed = true // wrap/overrun → next read EOFs
+                  else {
+                    entries += V9Rec(docId, exporter, tid, seq, is_template = true,
+                      sTypes ++ oTypes, sWidths ++ oWidths, sTypes.length, "",
+                      maxRecs, truncated = false)
+                    t += pad
+                  }
+                }
+              }
+            }
+            if (failed) Iterator.empty else entries.result().iterator
+            }
+          } else if (fsId >= 256) {
+            Iterator.single(V9Rec(docId, exporter, fsId, seq, is_template = false,
+              Seq.empty, Seq.empty, 0, hexOf(24, c.length), maxRecs,
+              truncated = false))
+          } else Iterator.empty // reserved 2..255: warned + counted, no events
         }
       }.toDF("doc_id", "exporter", "template_id", "seq", "is_template",
         "field_types", "widths", "scope_cnt", "payload", "max_recs", "truncated")

@@ -116,6 +116,11 @@ class BinaryFuzzSpec extends SparkSpec {
     val garbage = (0 until 300).map(i => (i.toString, lcgBytes(0xBEEF + i, i % 97)))
     val g = garbage.toDF("doc_id", "packet")
     BinaryDecode.v9FlowsetWalk(g).count() // law: completes
+    // compat walk: same law, plus all-or-nothing — a packet either yields
+    // every entry of its one parse call or none, never a partial CALL (the
+    // per-entry partial-pair case is in V9CompatSpec); here it must simply
+    // bound itself on arbitrary bytes
+    BinaryDecode.v9FlowsetWalk(g, referenceCompat = true).count() // law: completes
     BinaryDecode.netflowV5AllRecords(g).count() // law: completes
 
     // structured v5: header count=5, truncate at every byte — rows must be

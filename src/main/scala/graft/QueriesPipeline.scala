@@ -721,6 +721,28 @@ object QueriesPipeline {
           col("o5.sampling_rate").as("sampling_rate"))
     }),
 
+    // f03 through the REFERENCE-COMPAT pcap peel: the reference's IHL
+    // option-skip bug (consume(ihl−20) wrapping, packet.rs:211) makes its
+    // binary reject every IHL>5 packet as not-netflow — compat mode drops
+    // the did%7==2 (IHL=6) packets the default peel decodes correctly;
+    // everything else is byte-identical to f03
+    "f05_pcap_scan_compat" -> ((s, dir) => {
+      val path = graft.sources.Pcap.stage(s, dir)
+      val files = s.read.format("binaryFile").load(path)
+      graft.operators.BinaryDecode.pcapNetflowV5Payloads(files, referenceCompat = true)
+        .withColumn("o5", graft.operators.BinaryDecode.netflowV5(col("nf")))
+        .where(col("o5.ok"))
+        .select(col("o5.sys_uptime").as("did"), col("o5.version").as("version"),
+          col("cap_sec"), col("o5.unix_secs").as("unix_secs"),
+          graft.operators.BinaryDecode.ipv4String(col("o5.src_addr")).as("src_ip"),
+          graft.operators.BinaryDecode.ipv4String(col("o5.dst_addr")).as("dst_ip"),
+          col("o5.src_port").as("src_port"), col("o5.dst_port").as("dst_port"),
+          col("o5.d_octets").as("d_octets"), col("o5.prot").as("prot"),
+          col("o5.tcp_flags").as("tcp_flags"),
+          col("o5.sampling_mode").as("sampling_mode"),
+          col("o5.sampling_rate").as("sampling_rate"))
+    }),
+
     // REAL sysmon CSV file scan WITH a header row (the reference's reader
     // config: tab-separated, header present — sysmon_csv.rs:334-341): the
     // csv reader pre-splits and skips the header, then the schema-driven
@@ -1228,6 +1250,25 @@ object QueriesPipeline {
         |FROM (SELECT *, (did % 1000003) * 2654435761 % 4294967296 AS sa,
         |        ((did % 999983) * 7919 + 5) % 4294967296 AS da FROM v2)
         |WHERE did % 13 <> 0""".stripMargin),
+
+    // f03's twin under the reference's IHL bug: did%7==2 packets carry
+    // IPv4 options (IHL=6) and are dropped by the compat peel
+    "f05_pcap_scan_compat" -> withCtes(V2Cte)(
+      s"""SELECT did, cast(5 AS bigint) AS version,
+        |  1700000000 + did % 1000 AS cap_sec,
+        |  cast(1700000000 + did % 1000 AS bigint) AS unix_secs,
+        |  ${dottedSql("sa")} AS src_ip,
+        |  ${dottedSql("da")} AS dst_ip,
+        |  cast(1024 + did % 60000 AS bigint) AS src_port,
+        |  cast(443 AS bigint) AS dst_port,
+        |  cast(did % 4294967296 AS bigint) AS d_octets,
+        |  cast(CASE WHEN did % 2 = 0 THEN 6 ELSE 17 END AS bigint) AS prot,
+        |  cast(did % 256 AS bigint) AS tcp_flags,
+        |  cast((did % 4) * 64 AS bigint) AS sampling_mode,
+        |  cast(did % 16384 AS bigint) AS sampling_rate
+        |FROM (SELECT *, (did % 1000003) * 2654435761 % 4294967296 AS sa,
+        |        ((did % 999983) * 7919 + 5) % 4294967296 AS da FROM v2)
+        |WHERE did % 13 <> 0 AND did % 7 <> 2""".stripMargin),
 
     "f04_file_sysmon" -> {
       val proto = graft.operators.Positional.sysmonCsv.head

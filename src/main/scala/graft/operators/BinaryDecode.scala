@@ -641,8 +641,17 @@ object BinaryDecode {
     * intended (ihl·4 − 20)-byte skip is implemented here, matching its
     * stated boundary test packet.rs:1433.) Output: one row per accepted
     * packet with the NetFlow payload in `nf`.
+    *
+    * `referenceCompat = true` reproduces the reference binary's OBSERVABLE
+    * outcome on IHL>5 packets instead: the release-mode usize wrap of
+    * `consume(ihl − 20)` rewinds the cursor 14 bytes, so parse_udp reads
+    * the IP header's (flags, ttl|proto, csum, src) bytes as the UDP header
+    * — the garbage dst_port is always (ttl<<8)|17, and CFLOW_UDP_PORTS =
+    * [2055] (packet.rs:20) has low byte 0x07 ≠ 0x11, so every IHL>5 packet
+    * is rejected as not-netflow. Emulated as a drop.
     */
-  def pcapNetflowV5Payloads(files: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def pcapNetflowV5Payloads(files: org.apache.spark.sql.DataFrame,
+                            referenceCompat: Boolean = false): org.apache.spark.sql.DataFrame = {
     val d = col("data")
     val et0 = beUint(d, 13, 2)
     // 1-based offset of the IPv4 header after the L2 unwrap:
@@ -657,10 +666,11 @@ object BinaryDecode {
     // bytes before the UDP header (IHL<5 is malformed — treated as 20, the
     // reference reads its fixed fields the same way)
     val udpOff = ipOff + greatest(ihl * 4L, lit(20L))
+    val accept = ipOff.isNotNull &&
+      beUintAt(d, (ipOff + 9).cast("int"), 1) === 17L &&   // IP proto UDP
+      beUintAt(d, (udpOff + 2).cast("int"), 2) === 2055L   // cflow dst port
     pcapPackets(files)
-      .where(ipOff.isNotNull &&
-        beUintAt(d, (ipOff + 9).cast("int"), 1) === 17L &&   // IP proto UDP
-        beUintAt(d, (udpOff + 2).cast("int"), 2) === 2055L)  // cflow dst port
+      .where(if (referenceCompat) accept && ihl <= 5L else accept)
       .withColumn("nf", d.substr((udpOff + 8).cast("int"),
         (length(d) - udpOff - 7).cast("int")))
       .select(col("path"), col("cap_sec"), col("nf"))

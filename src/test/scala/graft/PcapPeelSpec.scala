@@ -62,6 +62,22 @@ class PcapPeelSpec extends SparkSpec {
     assert(out === Seq.fill(4)("deadbeef"))
   }
 
+  test("referenceCompat: IHL>5 packets are dropped like the reference binary drops them") {
+    // packet.rs:211 `consume(ihl - 20)` wraps in release mode, rewinding
+    // the cursor 14 bytes: parse_udp then reads (ttl<<8)|proto as dst_port
+    // — always low byte 0x11, never cflow port 2055 — so the reference
+    // rejects every IHL>5 packet as not-netflow; compat mode must too,
+    // while keeping IHL=5 packets identical
+    val dir = Files.createTempDirectory("graft-pcap-compat")
+    Files.write(Paths.get(dir.toString, "t.pcap"), pcapFile(Seq(
+      EthPlain + ipv4(5, 12) + udpAndPayload(2055),
+      EthPlain + ipv4(6, 12) + udpAndPayload(2055))))
+    val files = spark.read.format("binaryFile").load(dir.toString)
+    val compat = BinaryDecode.pcapNetflowV5Payloads(files, referenceCompat = true)
+      .select(hex(col("nf"))).collect().map(_.getString(0).toLowerCase).toSeq
+    assert(compat === Seq("deadbeef")) // IHL=5 kept, IHL=6 dropped
+  }
+
   test("big-endian and nanosecond-magic captures read identically (all four libpcap magics)") {
     def be4(v: Int): String = f"$v%08x"
     def file(magicHex: String, be: Boolean): Array[Byte] = {

@@ -743,6 +743,51 @@ object QueriesPipeline {
           col("o5.sampling_rate").as("sampling_rate"))
     }),
 
+    // LIVE Elasticsearch fetch end-to-end (the reference's
+    // fetch_elastic_search, sysmon_csv.rs:77-305) against an in-process
+    // `_search` stub on an ephemeral localhost port: the REAL paging client
+    // runs — Basic auth, the reference's exact bool-query body, search_after
+    // cursor from each page's last sort value, short-page termination (size
+    // 97 forces a ragged final page at every sf) — then the fetched sysmon
+    // messages parse declaratively (str_to_map) into the same typed frame
+    // f04 reads from disk. Fixture hits derive from the ProtoSynth
+    // arithmetic, so the oracle re-derives every field from did, same as
+    // f04: a paging bug (dropped/duplicated page) breaks the row count, a
+    // message-parse bug breaks the hash.
+    "f06_elastic_fetch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Positional, ProtoSynth}
+      import graft.sources.{Elastic, ElasticStub}
+      val proto = Positional.sysmonCsv.head // w_process_create (code 1)
+      val msgCol = concat_ws("\n",
+        proto.fields.zipWithIndex.drop(3).map { case (f, i) =>
+          concat(lit(Elastic.messageKey(f.name) + ": "),
+            ProtoSynth.raw(f.t, i, col("did")))
+        }: _*)
+      val fixture = Tables.rawEvents2(s, dir)
+        .select(col("did"),
+          ProtoSynth.raw(Positional.PStr, 0, col("did")).as("an"),
+          ProtoSynth.raw(Positional.PStr, 1, col("did")).as("ai"),
+          msgCol.as("msg"))
+        .collect()
+        .map(r => ElasticStub.StubHit(1700000000000L + r.getLong(0),
+          r.getString(1), r.getString(2), r.getString(3)))
+        .sortBy(_.sortTs).toIndexedSeq
+      val stub = ElasticStub.start(Map(("sysmon-2023", "1") -> fixture))
+      val hits = try {
+        Elastic.fetchAll(Elastic.EsConfig(stub.url, "elastic:changeme",
+          Seq("sysmon-2023"), Seq("1"),
+          "2023-01-01T00:00:00Z", "2023-12-31T00:00:00Z", size = 97))
+      } finally stub.stop()
+      Elastic.typed(s.createDataset(hits).toDF(), 1).where(col("o.ok"))
+        .select(col("o.ts_ns").as("ts_ns"),
+          col("o.process_guid").as("process_guid"),
+          col("o.process_id").as("process_id"), col("o.image").as("image"),
+          col("o.logon_id").as("logon_id"),
+          concat_ws(",", col("o.hashes")).as("hashes_csv"),
+          col("o.parent_image").as("parent_image"))
+    }),
+
     // REAL sysmon CSV file scan WITH a header row (the reference's reader
     // config: tab-separated, header present — sysmon_csv.rs:334-341): the
     // csv reader pre-splits and skips the header, then the schema-driven
@@ -1271,6 +1316,19 @@ object QueriesPipeline {
         |WHERE did % 13 <> 0 AND did % 7 <> 2""".stripMargin),
 
     "f04_file_sysmon" -> {
+      val proto = graft.operators.Positional.sysmonCsv.head
+      val want = Set("ts_ns", "process_guid", "process_id", "image",
+        "logon_id", "hashes", "parent_image")
+      val cols = proto.fields.zipWithIndex.collect { case (f, i) if want(f.name) =>
+        graft.operators.ProtoSynth.parsedSql(f.t, i, f.name)
+          .map { case (n, sql) => s"  $sql AS $n" }
+      }.flatten
+      withCtes(V2Cte)("SELECT\n" + cols.mkString(",\n") + "\nFROM v2")
+    },
+
+    // the ES fetch lands in the SAME typed frame the f04 file scan reads —
+    // identical field arithmetic, so the twin is f04's construction
+    "f06_elastic_fetch" -> {
       val proto = graft.operators.Positional.sysmonCsv.head
       val want = Set("ts_ns", "process_guid", "process_id", "image",
         "logon_id", "hashes", "parent_image")

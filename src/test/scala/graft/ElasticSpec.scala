@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Positional
+import graft.sources.{Elastic, ElasticStub, Staging}
+import graft.sources.Elastic.EsConfig
+import graft.sources.ElasticStub.StubHit
+
+/** The live-ES source: real HTTP paging client against the in-process
+  * `_search` stub — auth header, query shape, search_after cursor walk,
+  * short-page/empty-page termination, distributed (index × code) fan-out,
+  * and the message→typed-layout parse including the reader-order emission
+  * (parent_process_guid BEFORE parent_process_id — the reference's own dump
+  * writes them swapped relative to its reader, sysmon_csv/process_create.rs
+  * :207-208 vs :121-135).
+  */
+class ElasticSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def msg(pairs: (String, String)*): String =
+    pairs.map { case (k, v) => s"$k: $v" }.mkString("\n")
+
+  private def procMsg(i: Int): String = msg(
+    "UtcTime" -> "2023-01-10 01:02:03.004", "ProcessGuid" -> s"pg-$i",
+    "ProcessId" -> i.toString, "Image" -> s"img-$i",
+    "FileVersion" -> "1.0", "Description" -> "d", "Product" -> "p",
+    "Company" -> "c", "OriginalFileName" -> s"orig-$i",
+    "CommandLine" -> s"cmd -$i", "CurrentDirectory" -> "C:\\w",
+    "User" -> s"u$i", "LogonGuid" -> "lg", "LogonId" -> "0x00042",
+    "TerminalSessionId" -> "1", "IntegrityLevel" -> "High",
+    "Hashes" -> "a1,b2", "ParentProcessGuid" -> s"PPG-$i",
+    "ParentProcessId" -> "77", "ParentImage" -> "pimg",
+    "ParentCommandLine" -> "pcmd", "ParentUser" -> "pu")
+
+  private def hitsFor(n: Int, base: Long = 1000L): IndexedSeq[StubHit] =
+    (0 until n).map(i => StubHit(base + i, s"agent$i", s"aid$i", procMsg(i)))
+
+  private def cfg(url: String, size: Int, indices: Seq[String] = Seq("idx"),
+                  codes: Seq[String] = Seq("1")): EsConfig =
+    EsConfig(url, "elastic:changeme", indices, codes,
+      "2023-01-01T00:00:00Z", "2023-12-31T00:00:00Z", size)
+
+  test("paging: the search_after cursor walks full pages and stops on the short page; Basic auth on every request") {
+    val stub = ElasticStub.start(Map(("idx", "1") -> hitsFor(25)))
+    try {
+      val got = Elastic.fetchPages(cfg(stub.url, 10), "idx", "1")
+      assert(got.length === 25)
+      assert(got.map(_.sort_ts) === (0 until 25).map(1000L + _))
+      assert(got.map(_.agent_name).take(2) === Seq("agent0", "agent1"))
+      val reqs = stub.requests
+      assert(reqs.length === 3) // 10 + 10 + 5(short → stop)
+      assert(reqs.map(_.searchAfter) === Seq(0L, 1009L, 1019L))
+      assert(reqs.map(_.size).distinct === Seq(10))
+      val expectAuth = "Basic " + Base64.getEncoder.encodeToString(
+        "elastic:changeme".getBytes(StandardCharsets.UTF_8))
+      assert(reqs.map(_.auth).distinct === Seq(expectAuth))
+      assert(reqs.map(_.eventCode).distinct === Seq("1"))
+    } finally stub.stop()
+  }
+
+  test("a page-aligned total drains with one trailing empty page (the reference's loop rule)") {
+    val stub = ElasticStub.start(Map(("idx", "1") -> hitsFor(20)))
+    try {
+      val got = Elastic.fetchPages(cfg(stub.url, 10), "idx", "1")
+      assert(got.length === 20)
+      // 10 + 10(full → one more request) + 0(empty → stop)
+      assert(stub.requests.map(_.searchAfter) === Seq(0L, 1009L, 1019L))
+    } finally stub.stop()
+  }
+
+  test("fetchDistributed fans (index × code) tasks across the cluster and equals the sequential fetchAll") {
+    val data = Map(
+      ("idx-a", "1") -> hitsFor(7, base = 1000),
+      ("idx-b", "1") -> hitsFor(5, base = 2000),
+      ("idx-a", "5") -> hitsFor(3, base = 3000),
+      ("idx-b", "5") -> IndexedSeq.empty[StubHit])
+    val stub = ElasticStub.start(data)
+    try {
+      val c = cfg(stub.url, 4, indices = Seq("idx-a", "idx-b"), codes = Seq("1", "5"))
+      val seq = Elastic.fetchAll(c).map(h => (h.index, h.event_code, h.sort_ts)).sorted
+      val dist = Elastic.fetchDistributed(spark, c).collect().toSeq
+        .map(h => (h.index, h.event_code, h.sort_ts)).sorted
+      assert(seq.length === 15 && dist === seq)
+    } finally stub.stop()
+  }
+
+  test("message parse lands in the typed layout — reader order: parent_process_guid BEFORE parent_process_id") {
+    val df = spark.createDataset(Seq(
+      Elastic.EsHit("idx", "1", 1000L, "agent0", "aid0", procMsg(0)))).toDF()
+    val o = Elastic.typed(df, 1).select(col("o.*")).collect().head
+    assert(o.getAs[String]("process_guid") === "pg-0")
+    assert(o.getAs[Long]("process_id") === 0L)
+    assert(o.getAs[String]("parent_process_guid") === "PPG-0")
+    assert(o.getAs[Long]("parent_process_id") === 77L)
+    assert(o.getAs[String]("user_s") === "u0")
+    assert(o.getAs[Seq[String]]("hashes") === Seq("a1", "b2"))
+    assert(o.getAs[Long]("logon_id") === 0x42L)
+    assert(o.getAs[Boolean]("ok"))
+  }
+
+  test("staged event{code}_log.csv round-trips through the staging ingest to the same typed rows") {
+    val proto = Positional.sysmonCsv.head
+    val df = spark.createDataset(
+      (0 until 4).map(i => Elastic.EsHit("idx", "1", 1000L + i, s"agent$i", s"aid$i", procMsg(i)))).toDF()
+    val lines = Elastic.rawColumns(df, 1)
+      .select(concat_ws("\t", proto.fields.indices.map(i => col(s"c$i")): _*))
+      .collect().map(_.getString(0))
+    val dir = Files.createTempDirectory("graft-es-stage")
+    Files.write(Paths.get(dir.toString, "event1_log.csv"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val staged = Staging.readStagingDir(spark, dir.toString)
+    assert(staged.select("event_code").distinct().collect().map(_.getInt(0)).toSeq === Seq(1))
+    val typedBack = staged
+      .select(Positional.fromColumns(proto, i => s"_c$i").as("o"))
+      .select(col("o.process_guid"), col("o.parent_process_guid"),
+        col("o.parent_process_id"), col("o.ts_ns"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val direct = Elastic.typed(df, 1)
+      .select(col("o.process_guid"), col("o.parent_process_guid"),
+        col("o.parent_process_id"), col("o.ts_ns"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(typedBack === direct)
+    assert(direct.map(_._2).toSeq === (0 until 4).map(i => s"PPG-$i"))
+  }
+}

@@ -103,6 +103,49 @@ class ElasticSpec extends SparkSpec {
     assert(o.getAs[Boolean]("ok"))
   }
 
+  test("messageKey maps every field of all 14 layouts onto the reference's actual message keys") {
+    // verbatim from the 14 EventToCsv match arms
+    // (/root/reference/src/parser/sysmon_csv/*.rs)
+    val refKeys: Map[Int, Set[String]] = Map(
+      1 -> Set("UtcTime", "ProcessGuid", "ProcessId", "Image", "FileVersion",
+        "Description", "Product", "Company", "OriginalFileName", "CommandLine",
+        "CurrentDirectory", "User", "LogonGuid", "LogonId", "TerminalSessionId",
+        "IntegrityLevel", "Hashes", "ParentProcessGuid", "ParentProcessId",
+        "ParentImage", "ParentCommandLine", "ParentUser"),
+      2 -> Set("UtcTime", "ProcessGuid", "ProcessId", "Image", "TargetFilename",
+        "CreationUtcTime", "PreviousCreationUtcTime", "User"),
+      3 -> Set("UtcTime", "ProcessGuid", "ProcessId", "Image", "User", "Protocol",
+        "Initiated", "SourceIsIpv6", "SourceIp", "SourceHostname", "SourcePort",
+        "SourcePortName", "DestinationIsIpv6", "DestinationIp",
+        "DestinationHostname", "DestinationPort", "DestinationPortName"),
+      5 -> Set("UtcTime", "ProcessGuid", "ProcessId", "Image", "User"),
+      7 -> Set("UtcTime", "ProcessGuid", "ProcessId", "Image", "ImageLoaded",
+        "FileVersion", "Description", "Product", "Company", "OriginalFileName",
+        "Hashes", "Signed", "Signature", "SignatureStatus", "User"),
+      11 -> Set("UtcTime", "ProcessGuid", "ProcessId", "Image", "TargetFilename",
+        "CreationUtcTime", "User"),
+      13 -> Set("UtcTime", "EventType", "ProcessGuid", "ProcessId", "Image",
+        "TargetObject", "Details", "User"),
+      14 -> Set("UtcTime", "EventType", "ProcessGuid", "ProcessId", "Image",
+        "TargetObject", "NewName", "User"),
+      15 -> Set("UtcTime", "ProcessGuid", "ProcessId", "Image", "TargetFilename",
+        "CreationUtcTime", "Hash", "Contents", "User"),
+      17 -> Set("UtcTime", "EventType", "ProcessGuid", "ProcessId", "PipeName",
+        "Image", "User"),
+      22 -> Set("UtcTime", "ProcessGuid", "ProcessId", "QueryName", "QueryStatus",
+        "QueryResults", "Image", "User"),
+      23 -> Set("UtcTime", "ProcessGuid", "ProcessId", "User", "Image",
+        "TargetFilename", "Hashes", "IsExecutable", "Archived"),
+      25 -> Set("UtcTime", "ProcessGuid", "ProcessId", "Image", "Type", "User"),
+      26 -> Set("UtcTime", "ProcessGuid", "ProcessId", "User", "Image",
+        "TargetFilename", "Hashes", "IsExecutable"))
+    Elastic.eventTypes.foreach { case (code, (protoName, _)) =>
+      val proto = Positional.sysmonCsv.find(_.name == protoName).get
+      val mapped = proto.fields.drop(3).map(f => Elastic.messageKey(f.name)).toSet
+      assert(mapped === refKeys(code), s"code $code ($protoName)")
+    }
+  }
+
   test("staged event{code}_log.csv round-trips through the staging ingest to the same typed rows") {
     val proto = Positional.sysmonCsv.head
     val df = spark.createDataset(

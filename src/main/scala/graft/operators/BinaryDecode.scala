@@ -238,6 +238,30 @@ object BinaryDecode {
                          widths: Seq[Int], scope_cnt: Int, payload: String,
                          max_recs: Int, truncated: Boolean)
 
+  /** Big-endian u16/u32 and hex-slice over a packet buffer — shared by the
+    * RFC and compat walks so a byte-reading fix cannot land in one and miss
+    * the other.
+    */
+  private def beU16(c: Array[Byte], o: Int): Int =
+    ((c(o) & 0xff) << 8) | (c(o + 1) & 0xff)
+
+  private def beU32(c: Array[Byte], o: Int): Long =
+    ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
+      ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
+
+  private val HexDigits = "0123456789abcdef"
+
+  private def hexSlice(c: Array[Byte], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder((until - from) * 2)
+    var i = from
+    while (i < until) {
+      sb.append(HexDigits.charAt((c(i) & 0xf0) >> 4))
+        .append(HexDigits.charAt(c(i) & 0x0f))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** NetFlow v9 wire framing via a TYPED per-packet walk: iterates every
     * flowset to the end of the buffer and every back-to-back template entry
     * to the end of its flowset — no expression-depth bound, so packets
@@ -282,26 +306,15 @@ object BinaryDecode {
     packets.select(col("doc_id").cast("string"), col("packet"))
       .as[(String, Array[Byte])]
       .flatMap { case (docId, c) =>
-        def u16(o: Int): Int = ((c(o) & 0xff) << 8) | (c(o + 1) & 0xff)
-        def u32(o: Int): Long =
-          ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
-            ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
+        def u16(o: Int): Int = beU16(c, o)
+        def u32(o: Int): Long = beU32(c, o)
         if (c.length < 20 || u16(0) != 9) Iterator.empty
         else {
           val maxRecs = u16(2)
           val seq = u32(12)
           val exporter = u32(16).toString
           val out = Seq.newBuilder[V9Rec]
-          val hex = "0123456789abcdef"
-          def hexOf(from: Int, until: Int): String = {
-            val sb = new java.lang.StringBuilder((until - from) * 2)
-            var i = from
-            while (i < until) {
-              sb.append(hex.charAt((c(i) & 0xf0) >> 4)).append(hex.charAt(c(i) & 0x0f))
-              i += 1
-            }
-            sb.toString
-          }
+          def hexOf(from: Int, until: Int): String = hexSlice(c, from, until)
           var o = 20
           var halt = false
           while (!halt && o + 4 <= c.length) {
@@ -379,14 +392,17 @@ object BinaryDecode {
     *     loop, packet.rs:341-343) — all-or-nothing, unlike the RFC walk's
     *     keep-what-fits.
     *  5. Options entries consume `flowset_length - (10 + field_count*4)`
-    *     padding EACH (packet.rs:394-397). When that u16 subtraction
-    *     underflows (release-mode wrap) or the padding runs past the buffer
-    *     end, the next header read fails and the call's entries are dropped
-    *     (behavior 4) — emulated as the same all-or-nothing drop.
+    *     padding EACH, computed in u16 (packet.rs:394-397, release-mode
+    *     wrap): a wrapped pad landing inside the buffer keeps framing from
+    *     that garbage offset; one running past the end makes the next
+    *     header read fail and the call's entries drop (behavior 4).
     *  6. Data-set payload runs to the BUFFER end, not the flowset end
     *     (packet.rs:473 loops on `remained()` and the header count,
     *     ignoring flowset_length) — the downstream decode's `max_recs`
     *     header-count bound is what actually stops the record loop.
+    *  7. `field_count * 4` and the pair-reader's `read` counter are u16
+    *     (packet.rs:311-343): a field_count >= 16384 wraps the byte target
+    *     and the counter wraps at 65536 — both masked identically here.
     *
     * The collector's `for _i in 0..header.count` re-invocation of the
     * template parsers (netflow.rs:92-100) is a no-op after the first call —
@@ -399,10 +415,8 @@ object BinaryDecode {
     packets.select(col("doc_id").cast("string"), col("packet"))
       .as[(String, Array[Byte])]
       .flatMap { case (docId, c) =>
-        def u16(o: Int): Int = ((c(o) & 0xff) << 8) | (c(o + 1) & 0xff)
-        def u32(o: Int): Long =
-          ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
-            ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
+        def u16(o: Int): Int = beU16(c, o)
+        def u32(o: Int): Long = beU32(c, o)
         // header (20B) + the single flowset header (4B): a shorter buffer
         // fails the reference's read_u16 and yields no events
         if (c.length < 24 || u16(0) != 9) Iterator.empty
@@ -410,22 +424,17 @@ object BinaryDecode {
           val maxRecs = u16(2)
           val seq = u32(12)
           val exporter = u32(16).toString
-          val hex = "0123456789abcdef"
-          def hexOf(from: Int, until: Int): String = {
-            val sb = new java.lang.StringBuilder((until - from) * 2)
-            var i = from
-            while (i < until) {
-              sb.append(hex.charAt((c(i) & 0xf0) >> 4)).append(hex.charAt(c(i) & 0x0f))
-              i += 1
-            }
-            sb.toString
-          }
+          def hexOf(from: Int, until: Int): String = hexSlice(c, from, until)
           val fsId = u16(20)
           val fsLen = u16(22)
           var t = 24
           var failed = false
           // reads ceil(len/4) pairs, at least one even for len = 0; sets
-          // `failed` on EOF (the reference's ? propagation)
+          // `failed` on EOF (the reference's ? propagation). Both `len` and
+          // the reference's `read` counter are u16 (read_type_value_pairs,
+          // packet.rs:311-328): the counter wraps at 65536, emulated with
+          // the same mask so a pathological len keeps the loop reading past
+          // the wrap exactly as the binary does.
           def readPairs(len: Int): (Seq[Int], Seq[Int]) = {
             val types = Seq.newBuilder[Int]
             val widths = Seq.newBuilder[Int]
@@ -437,7 +446,7 @@ object BinaryDecode {
                 types += u16(t)
                 widths += u16(t + 2) * 2
                 t += 4
-                read += 4
+                read = (read + 4) & 0xFFFF
                 if (read >= len || t >= c.length) stop = true
               }
             }
@@ -457,7 +466,9 @@ object BinaryDecode {
                 val tid = u16(t)
                 val cnt = u16(t + 2)
                 t += 4
-                val (types, widths) = readPairs(cnt * 4)
+                // the reference computes field_count * 4 in u16
+                // (packet.rs:343): a count >= 16384 wraps the byte target
+                val (types, widths) = readPairs((cnt * 4) & 0xFFFF)
                 if (!failed)
                   entries += V9Rec(docId, exporter, tid, seq, is_template = true,
                     types, widths, 0, "", maxRecs, truncated = false)
@@ -484,8 +495,13 @@ object BinaryDecode {
                   if (!failed && optLen > 0) readPairs(optLen) else (Seq.empty[Int], Seq.empty[Int])
                 if (!failed) {
                   val fieldCount = sTypes.length + oTypes.length
-                  val pad = fsLen - (10 + fieldCount * 4)
-                  if (pad < 0 || t + pad > c.length) failed = true // wrap/overrun → next read EOFs
+                  // flowset_length - (10 + field_count*4) in u16, wrapping
+                  // (packet.rs:394-397, release mode): a wrapped pad that
+                  // lands inside the buffer keeps framing from that garbage
+                  // offset exactly as the binary does; one that overruns
+                  // makes the next header read EOF and drops the call
+                  val pad = (fsLen - ((10 + fieldCount * 4) & 0xFFFF)) & 0xFFFF
+                  if (t + pad > c.length) failed = true
                   else {
                     entries += V9Rec(docId, exporter, tid, seq, is_template = true,
                       sTypes ++ oTypes, sWidths ++ oWidths, sTypes.length, "",

@@ -29,11 +29,12 @@ import graft.operators.Positional
   * [[fetchAll]] is the reference's single-process shape for bounded dumps.
   *
   * Message → columns stays declarative: sysmon's "Key: value" message lines
-  * become a per-row map (`str_to_map` + trim, [[msgMap]] — the twin of
-  * `split_message_part`'s split-on-first-colon-and-trim, sysmon_csv.rs:357),
-  * and [[rawColumns]] projects them into the staged-CSV column order of the
-  * RE-INGEST layouts ([[Positional.sysmonCsv]]), so [[typed]] reuses the
-  * oracle-verified decode unchanged.
+  * resolve per key with [[msgValue]] (the twin of `split_message_part`'s
+  * split-on-first-colon-and-trim, sysmon_csv.rs:357, with last-occurrence
+  * wins like the reference's match-arm assignment), and [[rawColumns]]
+  * projects them into the staged-CSV column order of the RE-INGEST layouts
+  * ([[Positional.sysmonCsv]]), so [[typed]] reuses the oracle-verified
+  * decode unchanged.
   *
   * Documented reference bug (not reproduced): its ES dump structs write
   * `parent_process_id` BEFORE `parent_process_guid`
@@ -44,9 +45,22 @@ import graft.operators.Positional
   */
 object Elastic {
 
+  /** `referenceCompat = true` reproduces two paging bugs of the reference
+    * binary a migrant diffing dumps would otherwise see as extra rows here
+    * (both in fetch_data_from_es, sysmon_csv.rs:168-205):
+    *  1. a short non-empty page `break`s BEFORE `all_results.push(result)`,
+    *     so each index's trailing `total % size` hits (an entire index when
+    *     total < size) never reach the dump;
+    *  2. `last_ts` is declared OUTSIDE `for index in config.indices`, so
+    *     index B starts from index A's final cursor and silently skips every
+    *     B hit at or before it.
+    * The default keeps the short page and restarts the cursor per index —
+    * the dump a correct pager produces.
+    */
   final case class EsConfig(url: String, auth: String,
                             indices: Seq[String], eventCodes: Seq[String],
-                            startTime: String, endTime: String, size: Int)
+                            startTime: String, endTime: String, size: Int,
+                            referenceCompat: Boolean = false)
 
   /** One ES hit, reduced to what the dump consumes: the sort timestamp, the
     * two `_source.agent` fields, and the sysmon message text.
@@ -76,16 +90,26 @@ object Elastic {
   private def basicAuth(auth: String): String =
     "Basic " + Base64.getEncoder.encodeToString(auth.getBytes(StandardCharsets.UTF_8))
 
-  /** One (index, event_code)'s sequential page loop. A missing/empty
-    * `hits.hits` ends the loop (the reference would spin forever on a
-    * malformed response with no hits array — terminating is the one safe
-    * divergence).
+  /** One shared client: HttpClient is thread-safe and each instance owns a
+    * selector thread + connection pool, so per-call construction would leak
+    * threads/sockets across a (index × code) distributed fetch.
     */
-  def fetchPages(cfg: EsConfig, index: String, eventCode: String): Seq[EsHit] = {
-    val client = HttpClient.newHttpClient()
+  private lazy val httpClient: HttpClient = HttpClient.newHttpClient()
+
+  /** One (index, event_code) page walk from the cursor `startTs`; returns
+    * the kept hits and the final cursor (for the compat cross-index carry).
+    * Safety divergences from the reference, both fail-safe not fail-spin:
+    * a missing/empty `hits.hits` ends the loop (the reference would re-send
+    * the same query forever), and a FULL page whose last hit lacks a
+    * forward-moving numeric `sort[0]` raises instead of re-sending the same
+    * cursor forever.
+    */
+  private def fetchFrom(cfg: EsConfig, index: String, eventCode: String,
+                        startTs: Long): (Seq[EsHit], Long) = {
+    require(cfg.size > 0, s"page size must be positive, got ${cfg.size}")
     val mapper = new ObjectMapper()
     val out = Seq.newBuilder[EsHit]
-    var lastTs = 0L
+    var lastTs = startTs
     var done = false
     while (!done) {
       val req = HttpRequest.newBuilder(URI.create(s"${cfg.url}/$index/_search"))
@@ -93,21 +117,52 @@ object Elastic {
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(queryJson(eventCode, cfg, lastTs)))
         .build()
-      val body = client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+      val body = httpClient.send(req, HttpResponse.BodyHandlers.ofString()).body()
       val hits = mapper.readTree(body).path("hits").path("hits")
       val n = if (hits.isArray) hits.size() else 0
-      var k = 0
-      while (k < n) {
-        val h = hits.get(k)
-        val src = h.path("_source")
-        out += EsHit(index, eventCode, h.path("sort").path(0).asLong(),
-          src.path("agent").path("name").asText(""),
-          src.path("agent").path("id").asText(""),
-          src.path("message").asText(""))
-        k += 1
+      val full = n == cfg.size
+      // the reference drops a short non-empty page (break before push,
+      // sysmon_csv.rs:190-196) — reproduced only under referenceCompat
+      if (n > 0 && (full || !cfg.referenceCompat)) {
+        var k = 0
+        while (k < n) {
+          val h = hits.get(k)
+          val src = h.path("_source")
+          out += EsHit(index, eventCode, h.path("sort").path(0).asLong(),
+            src.path("agent").path("name").asText(""),
+            src.path("agent").path("id").asText(""),
+            src.path("message").asText(""))
+          k += 1
+        }
       }
-      if (n == cfg.size) lastTs = hits.get(n - 1).path("sort").path(0).asLong()
-      else done = true // short or empty page: the index is drained
+      if (full) {
+        val next = hits.get(n - 1).path("sort").path(0).asLong()
+        if (next <= lastTs)
+          throw new IllegalStateException(
+            s"search_after cursor did not advance ($lastTs -> $next) on a full page: " +
+              s"$index/$eventCode — aborting instead of re-sending the same query forever")
+        lastTs = next
+      } else done = true // short or empty page: the index is drained
+    }
+    (out.result(), lastTs)
+  }
+
+  /** One (index, event_code)'s sequential page loop from cursor 0. */
+  def fetchPages(cfg: EsConfig, index: String, eventCode: String): Seq[EsHit] =
+    fetchFrom(cfg, index, eventCode, 0L)._1
+
+  /** One event_code across every index. Under referenceCompat the cursor
+    * carries from index to index (the reference's `last_ts` lives outside
+    * its index loop); by default each index pages independently from 0.
+    */
+  def fetchCode(cfg: EsConfig, eventCode: String): Seq[EsHit] = {
+    var cursor = 0L
+    val out = Seq.newBuilder[EsHit]
+    cfg.indices.foreach { index =>
+      val (hits, last) = fetchFrom(cfg, index, eventCode,
+        if (cfg.referenceCompat) cursor else 0L)
+      out ++= hits
+      cursor = last
     }
     out.result()
   }
@@ -116,18 +171,26 @@ object Elastic {
     * single-process shape.
     */
   def fetchAll(cfg: EsConfig): Seq[EsHit] =
-    for (code <- cfg.eventCodes; index <- cfg.indices; hit <- fetchPages(cfg, index, code))
-      yield hit
+    cfg.eventCodes.flatMap(code => fetchCode(cfg, code))
 
-  /** Cluster-parallel fetch: one task per (index, event_code) pair —
-    * paging within a pair is sequential by protocol, pairs are not.
+  /** Cluster-parallel fetch. By default one task per (index, event_code)
+    * pair — paging within a pair is sequential by protocol, pairs are not.
+    * Under referenceCompat the cursor couples the indices of one event code,
+    * so the fan-out unit is the event code.
     */
   def fetchDistributed(spark: SparkSession, cfg: EsConfig): Dataset[EsHit] = {
     import spark.implicits._
-    val tasks = for (i <- cfg.indices; c <- cfg.eventCodes) yield (i, c)
-    spark.createDataset(tasks)
-      .repartition(math.max(1, math.min(tasks.length, spark.sparkContext.defaultParallelism)))
-      .mapPartitions(_.flatMap { case (i, c) => fetchPages(cfg, i, c) })
+    if (cfg.referenceCompat) {
+      val tasks = cfg.eventCodes
+      spark.createDataset(tasks)
+        .repartition(math.max(1, math.min(tasks.length, spark.sparkContext.defaultParallelism)))
+        .mapPartitions(_.flatMap(c => fetchCode(cfg, c)))
+    } else {
+      val tasks = for (i <- cfg.indices; c <- cfg.eventCodes) yield (i, c)
+      spark.createDataset(tasks)
+        .repartition(math.max(1, math.min(tasks.length, spark.sparkContext.defaultParallelism)))
+        .mapPartitions(_.flatMap { case (i, c) => fetchPages(cfg, i, c) })
+    }
   }
 
   /** event code → (re-ingest layout name, the dump's constant event_action)
@@ -160,14 +223,31 @@ object Elastic {
     case other => other.split("_").map(w => w.head.toUpper + w.tail).mkString
   }
 
-  /** "Key: value" message lines → map, split on the FIRST colon with both
-    * sides trimmed — split_message_part's semantics (sysmon_csv.rs:357-360).
-    * HOFs are fine here: a sysmon message is a bounded ~25-line block.
+  /** Rust `str::trim` twin: strips ALL leading/trailing whitespace —
+    * Spark's `trim` strips only U+0020, which would leave the `\r` of a
+    * CRLF-terminated sysmon message on every value (and sysmon payloads
+    * from Windows agents are CRLF in the wild). `\s` covers the ASCII
+    * whitespace those messages contain.
     */
-  def msgMap(message: Column): Column =
-    transform_values(
-      transform_keys(str_to_map(message, lit("\n"), lit(":")), (k, _) => trim(k)),
-      (_, v) => trim(v))
+  private def wtrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** The value of `key` in a "Key: value" multi-line message —
+    * split_message_part's semantics (split on the FIRST colon, trim both
+    * sides, lines without a colon skipped, sysmon_csv.rs:357-360) with the
+    * reference's LAST-occurrence-wins assignment (its match arms overwrite
+    * per line). Deliberately not a map: building a map per row
+    * (`str_to_map`) throws DUPLICATED_MAP_KEY under Spark's default dedup
+    * policy, so one hostile message (a CommandLine containing
+    * "\nUser: x") would kill the whole job. HOFs are fine here: a sysmon
+    * message is a bounded ~25-line block.
+    */
+  def msgValue(message: Column, key: String): Column = {
+    val lines = split(message, "\n")
+    val matching = filter(lines, l =>
+      instr(l, ":") > 0 && wtrim(substring_index(l, ":", 1)) === lit(key))
+    val last = element_at(matching, -1)
+    wtrim(last.substr(instr(last, ":") + lit(1), length(last)))
+  }
 
   private def protoOf(code: Int) = {
     val name = eventTypes(code)._1
@@ -183,7 +263,6 @@ object Elastic {
   def rawColumns(hits: DataFrame, code: Int): DataFrame = {
     val (_, action) = eventTypes(code)
     val proto = protoOf(code)
-    val m = msgMap(col("message"))
     val cells = proto.fields.zipWithIndex.map { case (f, i) =>
       val c = f.name match {
         case "agent_name" => col("agent_name")
@@ -191,7 +270,7 @@ object Elastic {
         case "skip2" => lit(action)
         // a missing message key is an EMPTY cell in the reference's dump
         // (serde serializes None as ""), not a NULL
-        case other => coalesce(element_at(m, messageKey(other)), lit(""))
+        case other => coalesce(msgValue(col("message"), messageKey(other)), lit(""))
       }
       c.as(s"c$i")
     }

@@ -103,6 +103,51 @@ class ElasticSpec extends SparkSpec {
     assert(o.getAs[Boolean]("ok"))
   }
 
+  test("CRLF-terminated messages parse identically (Rust trim strips \\r, Spark's space-only trim would not)") {
+    val crlf = procMsg(0).replace("\n", "\r\n")
+    val df = spark.createDataset(Seq(
+      Elastic.EsHit("idx", "1", 1000L, "agent0", "aid0", crlf))).toDF()
+    val o = Elastic.typed(df, 1).select(col("o.*")).collect().head
+    assert(o.getAs[String]("process_guid") === "pg-0")
+    assert(o.getAs[Long]("process_id") === 0L)
+    assert(o.getAs[Long]("ts_ns") > 0L, "CRLF timestamp must still parse")
+    assert(o.getAs[Boolean]("ok"))
+  }
+
+  test("a repeated key takes the LAST occurrence (reference match-arm overwrite) and never throws") {
+    // a hostile CommandLine can embed "\nUser: ..." — a map-building parse
+    // would die on DUPLICATED_MAP_KEY; the reference just overwrites
+    val hostile = procMsg(0) + "\nUser: evil"
+    val df = spark.createDataset(Seq(
+      Elastic.EsHit("idx", "1", 1000L, "agent0", "aid0", hostile))).toDF()
+    val o = Elastic.typed(df, 1).select(col("o.*")).collect().head
+    assert(o.getAs[String]("user_s") === "evil")
+    assert(o.getAs[String]("process_guid") === "pg-0")
+  }
+
+  test("referenceCompat paging reproduces the reference's two bugs: short-page discard and cross-index cursor carry") {
+    // idx-a: 25 hits (two full pages + a short page of 5)
+    // idx-b: 10 hits, ALL below idx-a's final cursor
+    val data = Map(
+      ("idx-a", "1") -> hitsFor(25, base = 1000),
+      ("idx-b", "1") -> hitsFor(10, base = 500))
+    val stub = ElasticStub.start(data)
+    try {
+      val base = cfg(stub.url, 10, indices = Seq("idx-a", "idx-b"))
+      // default: short page kept, each index pages from 0 → all 35 hits
+      assert(Elastic.fetchCode(base, "1").length === 35)
+      // compat: idx-a's short page of 5 is discarded (break before push);
+      // idx-b starts from idx-a's cursor 1019 and sees nothing
+      val compat = Elastic.fetchCode(base.copy(referenceCompat = true), "1")
+      assert(compat.length === 20)
+      assert(compat.map(_.sort_ts).max === 1019L)
+      // the compat distributed fan-out (per event code) agrees
+      val dist = Elastic.fetchDistributed(spark, base.copy(referenceCompat = true))
+        .collect().map(_.sort_ts).sorted.toSeq
+      assert(dist === compat.map(_.sort_ts).sorted)
+    } finally stub.stop()
+  }
+
   test("messageKey maps every field of all 14 layouts onto the reference's actual message keys") {
     // verbatim from the 14 EventToCsv match arms
     // (/root/reference/src/parser/sysmon_csv/*.rs)

@@ -120,6 +120,16 @@ class V9CompatSpec extends SparkSpec {
     assert(walk(Seq(pkt), compat = true).count() === 0L)
   }
 
+  test("quirk: field_count >= 16384 wraps the u16 byte target — one pair read, loop continues") {
+    // packet.rs:343 computes field_count * 4 in u16: 0x4000*4 wraps to 0,
+    // so read_type_value_pairs reads exactly ONE pair (its do-while floor)
+    // instead of 65536 bytes — the entry registers with a single pair
+    val pkt = hdr + "0000" + "000c" + "0320" + "4000" + "0008" + "0004"
+    val compat = walk(Seq(pkt), compat = true).collect()
+    assert(compat.length === 1 && compat.head.getAs[Int]("template_id") === 800)
+    assert(compat.head.getAs[Seq[Int]]("field_types") === Seq(8))
+  }
+
   test("quirk: a header count of 0 makes zero template-parse calls") {
     // netflow.rs:92 `for _i in 0..header.count` — count=0 never invokes the
     // template parser, so a well-formed entry is dropped on the floor

@@ -257,12 +257,24 @@ object Elastic {
 
   /** Hits → staged-CSV cells c0..cN in the RE-INGEST layout's column order:
     * agent fields from `_source.agent`, the constant event_action, then the
-    * message keys. Writing these tab-joined yields the event{code}_log.csv
-    * the staging ingest ([[Staging.readStagingDir]]) routes and decodes.
+    * message keys — extracted in ONE scan per row by the codegen
+    * [[graft.functions.KvLinesStruct]] (the HOF form in [[msgValue]] would
+    * re-split the message once per field after project collapse; an
+    * ElasticSpec law holds the two forms equal). Writing these tab-joined
+    * yields the event{code}_log.csv the staging ingest
+    * ([[Staging.readStagingDir]]) routes and decodes.
     */
   def rawColumns(hits: DataFrame, code: Int): DataFrame = {
     val (_, action) = eventTypes(code)
     val proto = protoOf(code)
+    val msgKeys = proto.fields.collect {
+      case f if f.name != "agent_name" && f.name != "agent_id" && f.name != "skip2" =>
+        messageKey(f.name)
+    }
+    // a named intermediate column: multi-referenced and non-cheap, so
+    // CollapseProject keeps it materialized — one scan per row
+    val withKv = hits.withColumn("_kv",
+      graft.functions.KvLinesStruct.of(col("message"), msgKeys))
     val cells = proto.fields.zipWithIndex.map { case (f, i) =>
       val c = f.name match {
         case "agent_name" => col("agent_name")
@@ -270,11 +282,11 @@ object Elastic {
         case "skip2" => lit(action)
         // a missing message key is an EMPTY cell in the reference's dump
         // (serde serializes None as ""), not a NULL
-        case other => coalesce(msgValue(col("message"), messageKey(other)), lit(""))
+        case other => coalesce(col("_kv").getField(messageKey(other)), lit(""))
       }
       c.as(s"c$i")
     }
-    hits.select(cells: _*)
+    withKv.select(cells: _*)
   }
 
   /** Hits → the typed frame, through the oracle-verified layout decode. */

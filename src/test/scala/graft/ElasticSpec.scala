@@ -148,6 +148,30 @@ class ElasticSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("KvLinesStruct one-pass extraction ≡ the msgValue HOF form over adversarial blocks") {
+    val msgs = Seq(
+      procMsg(0),
+      procMsg(1).replace("\n", "\r\n"),          // CRLF payload
+      procMsg(2) + "\nUser: evil",               // repeated key → last wins
+      "Process Create:\n" + procMsg(3),          // event-header line, empty value
+      "NoColonLine\n" + procMsg(4) + "\n\n",     // colonless + trailing empties
+      "User:x\n  ProcessGuid  :  pg  \nImage:\t-\r", // no-space / padded / tabbed
+      "")
+    val keys = Positional.sysmonCsv.head.fields.drop(3)
+      .map(f => Elastic.messageKey(f.name))
+    val df = spark.createDataset(msgs.zipWithIndex.map(_.swap)).toDF("id", "message")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val onePass = canon(df.select(col("id"),
+        graft.functions.KvLinesStruct.of(col("message"), keys).as("kv"))
+      .select(col("id") +: keys.map(k => col("kv").getField(k).as(k)): _*)
+      .collect())
+    val hof = canon(df.select(
+      col("id") +: keys.map(k => Elastic.msgValue(col("message"), k).as(k)): _*)
+      .collect())
+    assert(onePass === hof)
+  }
+
   test("messageKey maps every field of all 14 layouts onto the reference's actual message keys") {
     // verbatim from the 14 EventToCsv match arms
     // (/root/reference/src/parser/sysmon_csv/*.rs)

@@ -60,8 +60,12 @@ case class KvLinesStruct(child: Expression, keys: Seq[String])
     while (start <= len) {
       var end = s.indexOf('\n', start)
       if (end < 0) end = len
-      val colon = s.indexOf(':', start)
-      if (colon >= 0 && colon < end) {
+      // colon search bounded to THIS line: an unbounded indexOf would
+      // re-scan ahead to a later line's colon once per colonless line
+      // (quadratic on adversarial blocks)
+      var colon = start
+      while (colon < end && s.charAt(colon) != ':') colon += 1
+      if (colon < end) {
         val i = keyIdx.get(trimmed(s, start, colon))
         if (i != null)
           row.update(i.intValue(), UTF8String.fromString(trimmed(s, colon + 1, end)))

@@ -172,6 +172,45 @@ class ElasticSpec extends SparkSpec {
     assert(onePass === hof)
   }
 
+  test("KvLinesStruct ≡ msgValue on 150 ScalaCheck-random blocks, codegen AND interpreted") {
+    import org.scalacheck.Gen
+    val keys = Seq("UtcTime", "ProcessGuid", "Image", "User", "Hashes")
+    val keyPool = keys ++ Seq("CommandLine", "Utc", "ImageX", "") // near-misses
+    val pad = Gen.oneOf("", " ", "  ", "\t", " \t ")
+    val genLine = Gen.frequency(
+      7 -> (for {
+        k <- Gen.oneOf(keyPool); p1 <- pad; p2 <- pad; p3 <- pad
+        v <- Gen.oneOf("", "v", "a:b:c", "x y", "-", "C:\\dir\\exe", "é☃😀")
+      } yield s"$p1$k$p2:$p3$v"),
+      2 -> Gen.oneOf("no colon here", "", "   ", "Process Create"),
+      1 -> Gen.const(":")) // empty key, line splits at its first colon
+    val genBlock = for {
+      ls <- Gen.listOf(genLine)
+      sep <- Gen.oneOf("\n", "\r\n")
+    } yield ls.mkString(sep)
+    val samples = Gen.listOfN(146, genBlock).sample.get ++
+      Seq("", "\n", "User:x\nUser:y\nUser:z", "😀:😀")
+    val df = samples.zipWithIndex.map(_.swap).toDF("id", "message")
+    def run(): (Seq[String], Seq[String]) = {
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val onePass = canon(df.select(col("id"),
+          graft.functions.KvLinesStruct.of(col("message"), keys).as("kv"))
+        .select(col("id") +: keys.map(k => col("kv").getField(k).as(k)): _*)
+        .collect())
+      val hof = canon(df.select(
+        col("id") +: keys.map(k => Elastic.msgValue(col("message"), k).as(k)): _*)
+        .collect())
+      (onePass, hof)
+    }
+    val (a, b) = run()
+    assert(a === b, "codegen path diverged")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try { val (ai, bi) = run(); assert(ai === bi, "interpreted path diverged") }
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("messageKey maps every field of all 14 layouts onto the reference's actual message keys") {
     // verbatim from the 14 EventToCsv match arms
     // (/root/reference/src/parser/sysmon_csv/*.rs)

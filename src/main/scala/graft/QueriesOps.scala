@@ -627,6 +627,14 @@ object QueriesOps {
     "k13_strat_sample" -> ((s, dir) =>
       graft.ops.CurationOps.stratifiedSample(docs(s, dir), k = 20)),
 
+    // DSIR-style target-domain selection: hashed 8-gram features, target
+    // model = the 'en' slice, top-100 raw docs by the ln-free
+    // linear-discriminant score (one codegen window pass per doc)
+    "k15_dsir" -> ((s, dir) =>
+      graft.ops.CurationOps.dsirSelect(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        targetPred = col("lang") === "en")),
+
     // BPE vocabulary induction, step 1: top-50 adjacent char pairs
     "k07_bpe_pairs" -> ((s, dir) =>
       graft.ops.CurationOps.bpePairs(docs(s, dir), topN = 50)),
@@ -1497,6 +1505,35 @@ object QueriesOps {
         |      ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id) AS int) AS rank
         |  FROM documents)
         |WHERE rank <= 20""".stripMargin,
+
+    "k15_dsir" -> {
+      // twin of WindowHashes(text, 8) % 1024: the d12 per-window fold
+      val fold = (0 until 8).foldLeft("cast(0 AS bigint)") { (acc, j) =>
+        s"(($acc*31 + ascii(substr(text, cast(i+$j AS int), 1))) % 1000000007)"
+      }
+      s"""WITH f AS (
+         |  SELECT doc_id AS did, (lang = 'en') AS is_t,
+         |    unnest(list_transform(range(1, greatest(length(text)-7, 0)+1),
+         |      i -> $fold % 1024)) AS b
+         |  FROM documents),
+         |m AS (SELECT b,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT sum(ct) AS ctot, sum(cr) AS crot FROM m),
+         |w AS (SELECT b,
+         |    ((ct + 1) * 1000000000) // (ctot + 1024)
+         |      - ((cr + 1) * 1000000000) // (crot + 1024) AS wt
+         |  FROM m CROSS JOIN tot),
+         |c AS (SELECT did, b, count(*) AS c FROM f WHERE NOT is_t GROUP BY 1, 2),
+         |sc AS (SELECT did, cast(sum(c * wt) AS bigint) AS score,
+         |    cast(sum(c) AS bigint) AS n_feat
+         |  FROM c JOIN w USING (b) GROUP BY 1)
+         |SELECT did, coalesce(n_feat, 0) AS n_feat, coalesce(score, 0) AS score
+         |FROM (SELECT doc_id AS did FROM documents WHERE NOT (lang = 'en')) d
+         |LEFT JOIN sc USING (did)
+         |ORDER BY score DESC, did LIMIT 100""".stripMargin
+    },
 
     "k07_bpe_pairs" ->
       """WITH wd AS (

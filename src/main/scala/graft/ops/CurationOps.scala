@@ -459,6 +459,67 @@ object CurationOps {
         expr("((l1_present + (n - cov) * ns) * 1000000) div (2 * n * ns)").as("tv_e6"))
   }
 
+  /** DSIR-style importance scoring for target-domain data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): documents from the raw pool are scored by how much
+    * their hashed n-gram feature profile resembles a target domain's, and
+    * the top-k scores are the selection. Features are the same base-31
+    * char n-gram window hashes the dedup stack uses (one linear codegen
+    * WindowHashes pass per document), bucketed into `buckets` hash
+    * features; both bag-of-features models (target vs raw) are fit with
+    * Laplace +1 smoothing.
+    *
+    * The paper scores by the log-likelihood ratio Σ_f log p_t(f)/p_r(f);
+    * `ln` is not bit-stable across engines (libm vs StrictMath), so the
+    * score here is the ln-free linear-discriminant surrogate
+    * Σ_f (p_t(f) − p_r(f)) in exact 1e-9 integer units — the same
+    * deterministic-surrogate move as the rational idf in bm25TopK. Each
+    * per-bucket weight floor((ct+1)·1e9/(Ct+B)) − floor((cr+1)·1e9/(Cr+B))
+    * stays in int64 while the model is fit on ≤ ~9e9 feature occurrences
+    * (ct ≤ Ct ⇒ the product is ≤ (Ct+B)·1e9); at 100 TB the fit side is a
+    * deterministic sample of the pool — exactly the paper's setup, which
+    * fits its raw model on a subset — while the scoring pass below runs
+    * over the full corpus unchanged.
+    *
+    * Shape at scale: the feature frame materializes ONCE (localCheckpoint;
+    * it feeds both the model fit and the per-doc counts), the model is a
+    * ≤ `buckets`-row frame attached by broadcast join, per-doc counts are
+    * one map-side-combined aggregate on (doc, bucket), and the selection
+    * is TakeOrderedAndProject — no corpus-sized sort, no cross-document
+    * join anywhere. Raw docs too short to hold a window surface with
+    * n_feat = 0 (score 0), not silently dropped: a selection operator must
+    * rank every candidate.
+    */
+  def dsirSelect(docs: DataFrame, targetPred: Column, n: Int = 8,
+                 buckets: Int = 1024, topK: Int = 100): DataFrame = {
+    val S = 1000000000L
+    val feats = docs.select(col("doc_id").as("did"), targetPred.as("is_t"),
+        explode(graft.functions.WindowHashes.of(col("text"), n)).as("h"))
+      .select(col("did"), col("is_t"), (col("h") % lit(buckets)).as("b"))
+      .localCheckpoint(true)
+    // model fit: per-bucket target/raw occurrence counts (tiny: ≤ buckets
+    // rows) — checkpointed because totals + weights both consume it
+    val model = feats.groupBy("b")
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+      .localCheckpoint(true)
+    val tot = model.agg(sum(col("ct")).as("ctot"), sum(col("cr")).as("crot"))
+    val wts = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"((ct + 1) * ${S}L) div (ctot + $buckets) - ((cr + 1) * ${S}L) div (crot + $buckets)").as("wt"))
+    val cnts = feats.where(!col("is_t")).groupBy("did", "b").agg(count(lit(1)).as("c"))
+    val sc = cnts.join(broadcast(wts), "b")
+      .groupBy("did")
+      .agg(sum(col("c") * col("wt")).as("score"), sum(col("c")).as("n_feat"))
+    docs.where(!targetPred).select(col("doc_id").as("did"))
+      .join(sc, Seq("did"), "left")
+      .select(col("did"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy(col("score").desc, col("did"))
+      .limit(topK)
+  }
+
   /** Gap-based sessionization over an event stream (batch form): a new
     * session starts when a user's inter-event gap exceeds `gapSec`.
     * Per-user lag + running sum — window state bounded by one user's

@@ -280,6 +280,54 @@ class CurationSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("dsir selection equals a sequential reference and ranks target-like docs first") {
+    val docs = Seq(
+      (1L, "the model eats common crawl text and likes wikipedia prose very much"),
+      (2L, "the model eats common crawl text just like the target corpus does"),
+      (3L, "qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp aaaa ssss dddd"),
+      (4L, "short") // no 8-char window: n_feat = 0, score 0, still ranked
+    ).toDF("doc_id", "text")
+    val out = CurationOps.dsirSelect(docs, col("doc_id") === 1L, n = 8,
+        buckets = 1024, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // sequential single-threaded reference: same fold, same int64 arithmetic
+    val P = 1000000007L
+    val S = 1000000000L
+    def feats(s: String): Seq[Long] = {
+      val cps = s.codePoints.toArray
+      (0 to cps.length - 8).map { i =>
+        var h = 0L
+        (i until i + 8).foreach(j => h = (h * 31 + cps(j)) % P)
+        h % 1024
+      }
+    }
+    val texts = Map(1L -> "the model eats common crawl text and likes wikipedia prose very much",
+      2L -> "the model eats common crawl text just like the target corpus does",
+      3L -> "qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp aaaa ssss dddd",
+      4L -> "short")
+    val tf = feats(texts(1L))
+    val rawDocs = texts.filterNot(_._1 == 1L)
+    val rf = rawDocs.values.flatMap(feats).toSeq
+    val ct = tf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = rf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def wt(b: Long): Long =
+      (ct.getOrElse(b, 0L) + 1) * S / (tf.size + 1024) -
+        (cr.getOrElse(b, 0L) + 1) * S / (rf.size + 1024)
+    val ref = rawDocs.toSeq.map { case (did, t) =>
+      val f = feats(t)
+      (did, f.size.toLong, f.map(wt).sum)
+    }.sortBy { case (did, _, sc) => (-sc, did) }
+    assert(out === ref)
+    // the target-overlapping doc outscores the disjoint one (on a corpus
+    // this small every featured doc's raw-model term dominates, so the
+    // windowless doc's neutral 0 can top the list — rank among featured
+    // docs is the semantic claim)
+    val sc = out.map(r => r._1 -> r._3).toMap
+    assert(sc(2L) > sc(3L))
+    assert(out.find(_._1 == 4L).get._2 === 0L) // windowless doc present, 0 feats
+  }
+
   test("sessionize splits exactly at the gap and conserves events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     val sess = CurationOps.sessionize(ev, gapSec = 1800)

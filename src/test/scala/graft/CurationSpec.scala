@@ -264,6 +264,49 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dsirSelect == sequential reference on random corpora (2 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small word vocabulary → heavy cross-doc 8-gram sharing; bucket
+    // count 64 forces feature collisions through the same modulus both
+    // sides; doc lengths 0-12 words include windowless docs
+    val wordGen = Gen.oneOf("hash", "join", "scan", "merge", "sort", "row",
+      "key", "agg", "spark", "window")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    val P = 1000000007L
+    val S = 1000000000L
+    val B = 64
+    def feats(s: String): Seq[Long] = {
+      val cps = s.codePoints.toArray
+      (0 to cps.length - 8).map { i =>
+        var h = 0L
+        (i until i + 8).foreach(j => h = (h * 31 + cps(j)) % P)
+        h % B
+      }
+    }
+    Seq(13L, 77L).foreach { seed =>
+      val corpus = Gen.listOfN(40, docGen)
+        .pureApply(Gen.Parameters.default, Seed(seed)).zipWithIndex
+        .map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }
+      val got = CurationOps.dsirSelect(corpus.toDF("doc_id", "text"),
+          col("doc_id") % 3 === 0, n = 8, buckets = B, topK = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val (tgt, raw) = corpus.partition(_._1 % 3 == 0)
+      val tf = tgt.flatMap(d => feats(d._2))
+      val rf = raw.flatMap(d => feats(d._2))
+      val ct = tf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cr = rf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def wt(b: Long): Long =
+        (ct.getOrElse(b, 0L) + 1) * S / (tf.size + B) -
+          (cr.getOrElse(b, 0L) + 1) * S / (rf.size + B)
+      val exp = raw.map { case (did, t) =>
+        val f = feats(t)
+        (did, f.size.toLong, f.map(wt).sum)
+      }.sortBy { case (did, _, sc) => (-sc, did) }
+      assert(got === exp, s"seed $seed")
+    }
+  }
+
   test("apply-vocab: ids match a sequentially-built top-32 vocab, OOV = 0") {
     import spark.implicits._
     // sequential reference vocab: top-32 tokens by (freq desc, tok asc)

@@ -162,6 +162,14 @@ object QueriesOps {
       DedupOps.duplicateClusters(
         DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4))),
 
+    // soft dedup: every doc's training sampling weight = 1e6 div its
+    // duplicate-cluster size (singletons 1e6) — down-weight instead of
+    // drop, one doc's worth of expected mass per near-dup family
+    "d20_soft_dedup" -> ((s, dir) =>
+      DedupOps.softDedupWeights(docs(s, dir),
+        DedupOps.duplicateClusters(
+          DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4)))),
+
     // cross-SOURCE overlap matrix: LSH candidate pairs rolled up by the
     // (unordered) source pair — "which sources duplicate each other", the
     // dashboard view that decides inter-source dedup priorities; two
@@ -803,6 +811,18 @@ object QueriesOps {
     "d09_dup_clusters" -> (ClusterCtes +
       "\nSELECT s.sid, min(r.l) AS cluster" +
       "\nFROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid"),
+
+    // d09's closure + per-cluster counts; singletons surface via the
+    // corpus left join at weight 1e6
+    "d20_soft_dedup" -> (ClusterCtes +
+      """,
+        |cl AS (SELECT s.sid, min(r.l) AS cluster
+        |  FROM sgrp s JOIN greach r ON r.gid = s.gid GROUP BY s.sid),
+        |cz AS (SELECT cluster, count(*) AS csz FROM cl GROUP BY 1),
+        |mem AS (SELECT sid, csz FROM cl JOIN cz USING (cluster))
+        |SELECT d.doc_id AS sid, coalesce(m.csz, 1) AS csz,
+        |  1000000 // coalesce(m.csz, 1) AS weight_ppm
+        |FROM documents d LEFT JOIN mem m ON m.sid = d.doc_id""".stripMargin),
 
     // the same group-graph closure over the verbatim-family corpus: every
     // doc carries its family head's text (head = min doc_id of doc_id//20)

@@ -412,6 +412,32 @@ object DedupOps {
     labels.select(col("sid"), col("lbl").as("cluster"))
   }
 
+  /** Soft deduplication: instead of DROPPING near-duplicates, every
+    * document gets a training sampling weight 1/|its duplicate cluster|
+    * (SlimPajama-style down-weighting / the "soft dedup" alternative in
+    * recent data-curation ablations) so each duplicated FAMILY contributes
+    * one document's worth of expected training mass while retaining all
+    * phrasings. Weights are exact ppm integers (1e6 div size); documents
+    * in no cluster are singletons at weight 1e6.
+    *
+    * Shape at scale: `clusters` (sid → cluster, from
+    * [[duplicateClusters]]) materializes once — it feeds both the size
+    * aggregate and the member join — then one map-side-combined count on
+    * the cluster id, one equi-join back, and a left join from the corpus
+    * to surface singletons. Cluster ids are component-min doc ids, so the
+    * size join key is high-cardinality — no hot key even when one family
+    * is huge.
+    */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val cl = clusters.localCheckpoint(true)
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    val member = cl.join(sizes, "cluster").select(col("sid"), col("csz"))
+    docs.select(col("doc_id").as("sid"))
+      .join(member, Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("csz"), lit(1L)).as("csz"),
+        expr("1000000 div coalesce(csz, 1)").as("weight_ppm"))
+  }
+
   /** Quality-aware canonical selection per duplicate cluster — the decision
     * step real pipelines run after clustering: instead of keeping an
     * arbitrary member (min id), keep the HIGHEST-QUALITY document of each

@@ -45,6 +45,18 @@ class OpsSpec extends SparkSpec {
     assert(c.size === 6)
   }
 
+  test("softDedupWeights: 1e6 div cluster size, singletons at 1e6, mass conserved per family") {
+    // chain 1-2-3-4 (size 4), island 7-8 (size 2), 5/6 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 8L).toDF("doc_id")
+    val w = DedupOps.softDedupWeights(docs, DedupOps.duplicateClusters(pairs))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(w(_) == (4L, 250000L)))
+    assert(Seq(7L, 8L).forall(w(_) == (2L, 500000L)))
+    assert(Seq(5L, 6L).forall(w(_) == (1L, 1000000L)))
+    assert(w.size === 8)
+  }
+
   test("clusterCanonical: keeps the max-quality member, min-id on quality ties") {
     // cluster 1 = {1,2,3}: quality 10/50/50 → tie at 50 → keep 2 (min id);
     // cluster 7 = {7,8}: quality 90/20 → keep 7

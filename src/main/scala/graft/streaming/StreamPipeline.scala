@@ -143,6 +143,30 @@ object StreamPipeline {
     gated.drop("__t" +: (0 until k / r).map("__bk" + _): _*)
   }
 
+  /** DSIR importance ingest gate — the streaming form of
+    * [[graft.ops.CurationOps.dsirSelect]]'s scoring pass: each arriving
+    * document folds its own hashed n-gram features against the trained
+    * per-bucket weight map ([[graft.ops.CurationOps.dsirModel]], a
+    * ≤ buckets-entry literal — broadcast-sized like a vocab) and passes
+    * when the score clears `minScore`. Entirely STATELESS per row (the
+    * interpreted HOF fold is the right tool here, as in [[nearDupGate]]:
+    * work is bounded by one arriving document, never corpus-wide), so the
+    * gate runs in append mode with no watermark state. Buckets unseen at
+    * fit time score the smoothing-only `defaultWt`; for documents that
+    * were IN the fit corpus every bucket is in the map, so gate scores
+    * equal the batch dsirSelect scores exactly (StreamingSpec law). The
+    * same call runs in batch mode unchanged.
+    */
+  def dsirGate(docs: DataFrame, weights: Map[Long, Long], defaultWt: Long,
+               minScore: Long, n: Int = 8, buckets: Int = 1024): DataFrame = {
+    val m = typedLit(weights)
+    val score = aggregate(
+      graft.functions.WindowHashes.of(col("text"), n),
+      lit(0L),
+      (acc, h) => acc + coalesce(element_at(m, h % lit(buckets)), lit(defaultWt)))
+    docs.withColumn("dsir_score", score).where(col("dsir_score") >= minScore)
+  }
+
   /** Gap-based session aggregate in native Structured Streaming form:
     * `session_window` merges events separated by less than `gap`, the
     * watermark bounds session state (a session older than the horizon can

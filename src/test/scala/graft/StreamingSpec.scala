@@ -173,6 +173,39 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot === exp)
   }
 
+  test("streaming dsir gate: drained == batch call, scores == batch dsirSelect for corpus docs") {
+    val docsDir = tmp("graft-stream-dsir")
+    val all = Tables.documents(spark, "/root/testdata/sf0.01")
+    val (weights, defaultWt) = graft.ops.CurationOps.dsirModel(
+      all, col("lang") === "en")
+    // stream the raw (non-target) slice through the gate
+    val raw = all.where(col("lang") =!= "en")
+    raw.write.mode("overwrite").parquet(docsDir)
+    val q = StreamPipeline.dsirGate(
+        spark.readStream.schema(raw.schema).parquet(docsDir),
+        weights, defaultWt, minScore = 0L)
+      .writeStream.format("memory").queryName("dsir_gate").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dsir_gate").select("doc_id", "dsir_score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch mode of the same call
+    val batchGot = StreamPipeline.dsirGate(raw, weights, defaultWt, minScore = 0L)
+      .select("doc_id", "dsir_score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === batchGot)
+    // fit-corpus docs have every bucket in the map → gate scores equal the
+    // batch selection operator's scores exactly
+    val sel = graft.ops.CurationOps.dsirSelect(
+        all.repartition(4), col("lang") === "en", topK = 1000000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (did, sc) => assert(sel(did) === sc, s"doc $did") }
+    // the gate actually gates: some raw docs score below 0, some above
+    assert(got.nonEmpty && got.size < sel.size)
+    assert(sel.values.exists(_ < 0L))
+  }
+
   test("watermarked aggregate DROPS rows arriving later than the watermark") {
     // explicit late-data semantics, not just drained-input parity: batch 1
     // advances the watermark past window A; a window-A row in batch 2 is

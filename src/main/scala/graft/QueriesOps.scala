@@ -471,6 +471,12 @@ object QueriesOps {
       graft.ops.CurationOps.lmFamiliarity(
         docs(s, dir).repartition(s.sparkContext.defaultParallelism))),
 
+    // CCNet head/middle/tail partition: per-source familiarity thirds
+    // (exact percentiles, broadcast thresholds), (source, bucket) rollup
+    "t15_ppl_buckets" -> ((s, dir) =>
+      graft.ops.CurationOps.pplBuckets(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism))),
+
     // train/eval decontamination: training docs sharing >= 60 distinct
     // 8-char shingles with any eval doc (eval set = did % 89 == 7,
     // broadcast — benchmark suites are tiny next to the corpus)
@@ -1231,6 +1237,33 @@ object QueriesOps {
         |lm AS (SELECT g, count(*) AS cnt FROM tri GROUP BY 1)
         |SELECT did, (cast(sum(cnt) AS bigint) * 1000000) // count(*) AS fam_e6
         |FROM tri JOIN lm USING (g) GROUP BY did""".stripMargin,
+
+    "t15_ppl_buckets" -> {
+      val pLo = 1.0 / 3
+      val pHi = 2.0 / 3
+      s"""WITH tri AS (
+         |  SELECT doc_id AS did,
+         |    unnest(list_transform(range(1, greatest(length(text)-2, 0)+1),
+         |      i -> (ascii(substr(text, cast(i AS int), 1))*31
+         |            + ascii(substr(text, cast(i+1 AS int), 1)))*31
+         |            + ascii(substr(text, cast(i+2 AS int), 1)))) AS g
+         |  FROM documents WHERE length(text) >= 3),
+         |lm AS (SELECT g, count(*) AS cnt FROM tri GROUP BY 1),
+         |fam AS (SELECT did, (cast(sum(cnt) AS bigint) * 1000000) // count(*) AS fam_e6
+         |  FROM tri JOIN lm USING (g) GROUP BY did),
+         |sc AS (SELECT d.source, d.n_chars, f.fam_e6
+         |  FROM documents d JOIN fam f ON f.did = d.doc_id),
+         |thr AS (SELECT source,
+         |    cast(round(quantile_cont(fam_e6, $pLo)) AS bigint) AS t_lo,
+         |    cast(round(quantile_cont(fam_e6, $pHi)) AS bigint) AS t_hi
+         |  FROM sc GROUP BY 1)
+         |SELECT source,
+         |  CASE WHEN fam_e6 >= t_hi THEN 'head'
+         |       WHEN fam_e6 >= t_lo THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS sum_chars,
+         |  min(fam_e6) AS min_fam, max(fam_e6) AS max_fam
+         |FROM sc JOIN thr USING (source) GROUP BY 1, 2""".stripMargin
+    },
 
     "d10_decontaminate" -> withCtes(ShingCte,
       "tr AS (SELECT sid, unnest(stoks) AS g FROM shingd WHERE sid % 89 <> 7)",

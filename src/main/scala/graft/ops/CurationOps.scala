@@ -520,6 +520,42 @@ object CurationOps {
       .limit(topK)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per source
+    * (standing in for CCNet's per-language split), documents are cut into
+    * head / middle / tail thirds by the corpus-LM familiarity score
+    * ([[lmFamiliarity]] — the integer stand-in for KenLM perplexity, higher
+    * = more familiar = head), and each (source, bucket) reports its doc
+    * count, char mass, and familiarity range — the partition CCNet feeds
+    * to downstream sampling (train mostly on head+middle, audit tail).
+    *
+    * Bucket boundaries are per-source exact percentiles of the score (the
+    * k08 recipe: Spark `percentile` ≡ DuckDB `quantile_cont`, identical
+    * linear interpolation; the 1/3 and 2/3 constants are interpolated into
+    * both engines' SQL from the same Scala doubles). Thresholds attach by
+    * broadcast — no corpus-sized window sort per source, which at 100 TB
+    * would put a whole source's docs through one partition; the percentile
+    * aggregate combines map-side. Documents too short to score (len < 3,
+    * no trigram) are excluded, like CCNet's undefined-perplexity pages.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val pLo = 1.0 / 3
+    val pHi = 2.0 / 3
+    val scored = docs.select(col("doc_id").as("did"), col("source"), col("n_chars"))
+      .join(lmFamiliarity(docs), "did")
+      .localCheckpoint(true) // feeds thresholds AND bucketing
+    val thr = scored.groupBy("source").agg(
+      round(expr(s"percentile(fam_e6, $pLo)")).cast("long").as("t_lo"),
+      round(expr(s"percentile(fam_e6, $pHi)")).cast("long").as("t_hi"))
+    scored.join(broadcast(thr), "source")
+      .withColumn("bucket",
+        when(col("fam_e6") >= col("t_hi"), "head")
+          .when(col("fam_e6") >= col("t_lo"), "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("fam_e6")).as("min_fam"), max(col("fam_e6")).as("max_fam"))
+  }
+
   /** The DSIR model as a driver-side artifact: per-bucket weights plus the
     * smoothing-only default for buckets unseen at fit time — the form the
     * STREAMING ingest gate consumes ([[graft.streaming.StreamPipeline

@@ -264,6 +264,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pplBuckets: per-source partition into ordered head/middle/tail thirds") {
+    // plant one unscoreable (len < 3) doc to pin the exclusion semantics
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .unionByName(Seq((999999L, "ab", "en", "src0", 2L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = CurationOps.pplBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    // every (source, bucket) count sums to the scorable doc count
+    val scorable = docs.where(length(col("text")) >= 3).count()
+    assert(out.values.map(_._1).sum === scorable)
+    // within each source the bucket score RANGES are ordered:
+    // head.min >= middle.max's threshold side — head floor >= middle
+    // ceiling is too strong under ties at the threshold, but the bucket
+    // MINIMA must be ordered, and head's min >= middle's min >= tail's min
+    out.keys.map(_._1).toSeq.distinct.foreach { src =>
+      val h = out.get(src -> "head"); val m = out.get(src -> "middle")
+      val t = out.get(src -> "tail")
+      assert(h.nonEmpty, s"$src has no head")
+      (h, m) match {
+        case (Some(hv), Some(mv)) =>
+          assert(hv._2 > mv._3, s"$src head floor must exceed middle ceiling")
+        case _ =>
+      }
+      (m, t) match {
+        case (Some(mv), Some(tv)) =>
+          assert(mv._2 > tv._3, s"$src middle floor must exceed tail ceiling")
+        case _ =>
+      }
+    }
+    // docs too short to score are excluded, not silently bucketed
+    assert(scorable < docs.count())
+  }
+
   test("dsirSelect == sequential reference on random corpora (2 seeds)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -242,6 +242,11 @@ object QueriesOps {
         .select(col("q_id"), col("c_id"),
           round(col("cos") * 1e6).cast("long").as("cos_e6"), col("rank"))),
 
+    // MMR diversified retrieval: greedy λ·rel − (1−λ)·max-sim-to-picked
+    // over each query's top-20 pool — exact int64 greedy, 5 picks
+    "i07_mmr" -> ((s, dir) =>
+      Ann.mmrSelect(emb(s, dir), col("vec_id") < 10)),
+
     // multi-table LSH: 4 independent 8-bit sign tables from the shared
     // integer sketch; candidates = union over tables (key cardinality
     // 4·2^8 — no low-cardinality shuffle key at scale)
@@ -923,6 +928,53 @@ object QueriesOps {
          |    FROM (SELECT * FROM edd WHERE vec_id < 10) q
          |    JOIN edd c ON c.vec_id <> q.vec_id))
          |WHERE rank <= 5""".stripMargin),
+
+    // the greedy MMR recursion unrolled: one (candidates, argmax) CTE pair
+    // per pick, selected set = union of the prior pick CTEs
+    "i07_mmr" -> {
+      val lam = 700000L
+      val mu = 300000L
+      val pool =
+        s"""pool AS (
+           |  SELECT q_id, c_id, cast(round(cos*1000000) AS bigint) AS rel FROM (
+           |    SELECT q_id, c_id, cos,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+           |    FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cosSql("q.v", "c.v")} AS cos
+           |          FROM (SELECT * FROM edd WHERE vec_id < 10) q
+           |          JOIN edd c ON c.vec_id <> q.vec_id))
+           |  WHERE rn <= 20)""".stripMargin
+      val sims =
+        s"""sims AS (
+           |  SELECT p1.q_id, p1.c_id AS a_id, p2.c_id AS b_id,
+           |    cast(round(${cosSql("a.v", "b.v")}*1000000) AS bigint) AS sim
+           |  FROM pool p1 JOIN pool p2 ON p1.q_id = p2.q_id AND p1.c_id <> p2.c_id
+           |  JOIN edd a ON a.vec_id = p1.c_id JOIN edd b ON b.vec_id = p2.c_id)""".stripMargin
+      val s1 =
+        s"""s1 AS (
+           |  SELECT q_id, c_id, 1 AS pick, rel*$lam AS mmr FROM (
+           |    SELECT q_id, c_id, rel,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+           |    FROM pool) WHERE rn = 1)""".stripMargin
+      def step(i: Int): String = {
+        val prev = (1 until i).map(j => s"SELECT q_id, c_id FROM s$j").mkString(" UNION ALL ")
+        s"""c$i AS (
+           |  SELECT p.q_id, p.c_id, p.rel*$lam - max(s.sim)*$mu AS mmr
+           |  FROM pool p
+           |  JOIN sims s ON s.q_id = p.q_id AND s.a_id = p.c_id
+           |  JOIN ($prev) sel ON sel.q_id = s.q_id AND sel.c_id = s.b_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM ($prev) x
+           |                    WHERE x.q_id = p.q_id AND x.c_id = p.c_id)
+           |  GROUP BY p.q_id, p.c_id, p.rel),
+           |s$i AS (
+           |  SELECT q_id, c_id, $i AS pick, mmr FROM (
+           |    SELECT q_id, c_id, mmr,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, c_id) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }
+      withCtes((Seq(EmbCte, pool, sims, s1) ++ (2 to 5).map(step)): _*)(
+        (1 to 5).map(i => s"SELECT q_id, c_id, pick, mmr FROM s$i")
+          .mkString("\nUNION ALL "))
+    },
 
     "a02_ann_lsh" -> {
       def bucket(t: Int): String = (0 until 8).map(j =>

@@ -531,4 +531,63 @@ object Ann {
       .groupBy("q_id", "c_id").agg(sum("qd").as("adist"))
     rerankExact(emb, bucketCutCandidates(adist, den, bucket), k)
   }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): from each query's `poolK` nearest candidates, greedily pick k
+    * results maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    * picked — the diversity-aware selection used to de-redundify retrieved
+    * exemplars / few-shot context. The first pick is pure relevance
+    * (empty selected set ⇒ the redundancy term is 0).
+    *
+    * Everything the greedy argmax compares is exact int64: relevance and
+    * pairwise similarities are e6-rounded cosines, λ is ppm, so
+    * mmr = λppm·rel_e6 − (1e6−λppm)·maxsim_e6 (≤ 7e11) and ties break on
+    * min c_id — bit-identical to the unrolled DuckDB CTE twin.
+    *
+    * Shape at scale: the candidate pool and its pairwise similarity frame
+    * are per-query BOUNDED (poolK and poolK² rows), both checkpointed once;
+    * each of the k−1 greedy rounds is an equi-join + map-side-combined max
+    * on (q_id, c_id) and a per-query argmax via `max(struct(...))` — an
+    * aggregate, never a corpus-wide window. Work is (queries × poolK²) ×
+    * k — linear in the query count, independent of corpus size after the
+    * pool cut.
+    */
+  def mmrSelect(emb: DataFrame, queryFilter: Column, poolK: Int = 20,
+                k: Int = 5, lambdaPpm: Long = 700000L): DataFrame = {
+    val mu = 1000000L - lambdaPpm
+    val pool = bruteForceTopK(emb, queryFilter, poolK)
+      .select(col("q_id"), col("c_id"),
+        round(col("cos") * 1e6).cast("long").as("rel"))
+      .localCheckpoint(true)
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val av = pool.select(col("q_id"), col("c_id").as("a_id"))
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("av")), "a_id")
+    val bv = pool.select(col("q_id"), col("c_id").as("b_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
+    val sims = av.join(bv, Seq("q_id")).where(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(cosine(col("av"), col("bv")) * 1e6).cast("long").as("sim"))
+      .localCheckpoint(true)
+    def argmax(scored: DataFrame, pick: Int): DataFrame =
+      scored.groupBy("q_id")
+        .agg(max(struct(col("mmr"), (-col("c_id")).as("ni"))).as("m"))
+        .select(col("q_id"), (-col("m.ni")).as("c_id"),
+          lit(pick).as("pick"), col("m.mmr").as("mmr"))
+    var selected = argmax(
+      pool.select(col("q_id"), col("c_id"), (col("rel") * lambdaPpm).as("mmr")),
+      pick = 1).localCheckpoint(true)
+    (2 to k).foreach { i =>
+      val selIds = selected.select(col("q_id"), col("c_id"))
+      val cand = pool.join(selIds, Seq("q_id", "c_id"), "left_anti")
+      val maxsim = sims
+        .join(selIds.withColumnRenamed("c_id", "b_id"), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("c_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = cand.join(maxsim, Seq("q_id", "c_id"))
+        .select(col("q_id"), col("c_id"),
+          (col("rel") * lambdaPpm - col("maxsim") * mu).as("mmr"))
+      selected = selected.unionByName(argmax(scored, i)).localCheckpoint(true)
+    }
+    selected
+  }
 }

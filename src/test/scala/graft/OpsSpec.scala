@@ -194,6 +194,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("MMR: second pick trades relevance for diversity, pure top-k would not") {
+    // q = e1; c1 best match; c2 nearly collinear with c1 (higher rel than
+    // c3); c3 less relevant but pointing away from c1 — MMR must pick c3
+    // second, pure relevance would pick c2
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.95f, 0.312f, 0f, 0f)),
+      (2L, Array(0.949f, 0.315f, 0f, 0f)),
+      (3L, Array(0.88f, -0.47f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.mmrSelect(emb, col("vec_id") === 0, poolK = 20, k = 3)
+      .orderBy("pick").select("c_id", "pick", "mmr")
+      .as[(Long, Int, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L))
+    // pure relevance ranks c2 ahead of c3
+    val rel = Ann.bruteForceTopK(emb, col("vec_id") === 0, k = 3)
+      .orderBy("rank").select("c_id").as[Long].collect()
+    assert(rel.toSeq === Seq(1L, 2L, 3L))
+    // mmr scores strictly decrease along picks (greedy argmax over a
+    // shrinking candidate set with a growing redundancy term)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.reverse.toSeq)
+  }
+
   test("semi-hard negatives sit strictly inside the band below the positive") {
     // unit vectors with exact 6-dp cosines to the anchor (1,0):
     // v1 → 0.6, v2 → 0.8 (the positive), v3 → 0.0, v4 → −1.0

@@ -247,6 +247,16 @@ object QueriesOps {
     "i07_mmr" -> ((s, dir) =>
       Ann.mmrSelect(emb(s, dir), col("vec_id") < 10)),
 
+    // hybrid-retrieval fusion: RRF of the exact dense run and the cheap
+    // sketch run (1e6 div (60+rank) ppm points), fused top-5
+    "i08_rrf" -> ((s, dir) => {
+      val exact = Ann.bruteForceTopK(emb(s, dir), col("vec_id") < 10, k = 20)
+        .select("q_id", "c_id", "rank")
+      val sketch = Ann.sketchTopK(emb(s, dir), col("vec_id") < 10, k = 20)
+        .select("q_id", "c_id", "rank")
+      Ann.rrfFuse(Seq(exact, sketch), k = 5)
+    }),
+
     // multi-table LSH: 4 independent 8-bit sign tables from the shared
     // integer sketch; candidates = union over tables (key cardinality
     // 4·2^8 — no low-cardinality shuffle key at scale)
@@ -975,6 +985,36 @@ object QueriesOps {
         (1 to 5).map(i => s"SELECT q_id, c_id, pick, mmr FROM s$i")
           .mkString("\nUNION ALL "))
     },
+
+    "i08_rrf" -> withCtes(EmbCte, SkCte,
+      s"""ea AS (
+         |  SELECT q_id, c_id, rank FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |      cast(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS int) AS rank
+         |    FROM (SELECT * FROM edd WHERE vec_id < 10) q
+         |    JOIN edd c ON c.vec_id <> q.vec_id)
+         |  WHERE rank <= 20)""".stripMargin,
+      s"""sr AS (
+         |  SELECT q_id, c_id, rank FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |      cast(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY cast(floor((${skCosSql("q", "c")}) * 1000000) AS bigint) DESC,
+         |                 c.vec_id) AS int) AS rank
+         |    FROM (SELECT * FROM sk WHERE vec_id < 10) q
+         |    JOIN sk c ON c.vec_id <> q.vec_id)
+         |  WHERE rank <= 20)""".stripMargin,
+      """un AS (
+        |  SELECT q_id, c_id, 1000000 // (60 + rank) AS pts FROM ea
+        |  UNION ALL
+        |  SELECT q_id, c_id, 1000000 // (60 + rank) AS pts FROM sr)""".stripMargin,
+      """f AS (SELECT q_id, c_id, cast(sum(pts) AS bigint) AS rrf_e6
+        |  FROM un GROUP BY 1, 2)""".stripMargin)(
+      """SELECT q_id, c_id, rrf_e6, rank FROM (
+        |  SELECT q_id, c_id, rrf_e6,
+        |    cast(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rrf_e6 DESC, c_id) AS int) AS rank
+        |  FROM f) WHERE rank <= 5""".stripMargin),
 
     "a02_ann_lsh" -> {
       def bucket(t: Int): String = (0 until 8).map(j =>

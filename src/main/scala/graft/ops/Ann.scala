@@ -532,6 +532,46 @@ object Ann {
     rerankExact(emb, bucketCutCandidates(adist, den, bucket), k)
   }
 
+  /** Pure sketch-space top-k ranking — the cheap retrieval RUN (no exact
+    * rerank): candidates ordered by the integer sketch cosine, ties on
+    * c_id. This is what a fast first-stage retriever returns; compose
+    * with [[rrfFuse]] to fuse it with other runs. Same salted two-level
+    * rank as [[bruteForceTopK]] — no corpus-sized per-query window.
+    */
+  def sketchTopK(emb: DataFrame, queryFilter: Column, k: Int,
+                 kProj: Int = 32): DataFrame = {
+    val sk = sketches(emb, kProj).localCheckpoint(true)
+    val qs = sk.where(queryFilter)
+      .select(col("vec_id").as("q_id") +: (0 until kProj).map(t => col(s"s$t").as(s"qs$t")): _*)
+    val cs = sk
+      .select(col("vec_id").as("c_id") +: (0 until kProj).map(t => col(s"s$t").as(s"cs$t")): _*)
+    val scored = qs.join(cs, col("c_id") =!= col("q_id"))
+      .withColumn("cos", floor(sketchCos(kProj, "qs", "cs") * lit(1e6)).cast("long"))
+      .select("q_id", "c_id", "cos")
+    topKPerQuery(scored, k)
+      .select(col("q_id"), col("c_id"), col("cos").as("ski"), col("rank"))
+  }
+
+  /** Reciprocal Rank Fusion (Cormack et al. 2009): fuse several retrieval
+    * runs' rankings of the same query set by score Σ 1/(kRrf + rank),
+    * here in exact ppm integers (1e6 div (kRrf + rank)) so the fused
+    * order is engine-exact. A doc missing from a run simply contributes
+    * nothing — the standard RRF treatment. The hybrid-retrieval staple:
+    * an exact dense run and a cheap sketch run disagree on tails, RRF
+    * promotes docs both runs rank well.
+    *
+    * Shape at scale: each run is already a top-k cut, so the union holds
+    * ≤ runs·k rows per query — the per-query rank window is BOUNDED, and
+    * the fusion aggregate combines map-side.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    val contrib = runs.map(_.select(col("q_id"), col("c_id"),
+      expr(s"1000000 div ($kRrf + rank)").as("pts"))).reduce(_ unionByName _)
+    val fused = contrib.groupBy("q_id", "c_id").agg(sum(col("pts")).as("rrf_e6"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_e6").desc, col("c_id"))
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
     * 1998): from each query's `poolK` nearest candidates, greedily pick k
     * results maximizing λ·relevance − (1−λ)·max-similarity-to-already-

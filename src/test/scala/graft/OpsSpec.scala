@@ -217,6 +217,19 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === got.map(_._3).sorted.reverse.toSeq)
   }
 
+  test("RRF: consensus across runs outranks a single run's top hit; exact ppm points") {
+    val runA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q_id", "c_id", "rank")
+    val runB = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3)).toDF("q_id", "c_id", "rank")
+    val got = Ann.rrfFuse(Seq(runA, runB), k = 4)
+      .orderBy("rank").select("c_id", "rrf_e6")
+      .as[(Long, Long)].collect().toSeq
+    def p(r: Int): Long = 1000000L / (60 + r)
+    // doc 11 (ranks 2+1) and doc 12 (ranks 3+2) both beat doc 10, run A's
+    // rank-1 hit that run B misses entirely
+    assert(got === Seq(11L -> (p(2) + p(1)), 12L -> (p(3) + p(2)),
+      10L -> p(1), 13L -> p(3)))
+  }
+
   test("semi-hard negatives sit strictly inside the band below the positive") {
     // unit vectors with exact 6-dp cosines to the anchor (1,0):
     // v1 → 0.6, v2 → 0.8 (the positive), v3 → 0.0, v4 → −1.0

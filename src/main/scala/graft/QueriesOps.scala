@@ -125,6 +125,19 @@ object QueriesOps {
     "d03_lsh_pairs" -> ((s, dir) =>
       DedupOps.lshCandidatesRows(shingleRows(s, dir, dedup = false), k = 16, r = 4)),
 
+    // EXACT all-pairs similarity self-join by prefix filtering (Bayardo
+    // et al. 2007): every pair with 16-char-window Jaccard >= 1/2, no LSH
+    // miss probability — the deterministic complement of d03/d04. The
+    // 16-char basis (not the 8-char LSH shingles) keeps the df tail heavy
+    // so the prefix filter actually filters (100x measured — see the op's
+    // scaladoc). The window frame feeds df/rank/verify — materialize once
+    "d22_allpairs" -> ((s, dir) =>
+      DedupOps.allPairsSimilarity(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id").as("sid"),
+            explode(graft.functions.WindowHashes.of(col("text"), 16)).as("tok"))
+          .distinct().localCheckpoint(true), tE6 = 500000L)),
+
     "d04_lsh_jaccard" -> ((s, dir) => {
       // the shingle rows feed TWO consumers (banding + verification) —
       // materialize once
@@ -255,6 +268,22 @@ object QueriesOps {
       val sketch = Ann.sketchTopK(emb(s, dir), col("vec_id") < 10, k = 20)
         .select("q_id", "c_id", "rank")
       Ann.rrfFuse(Seq(exact, sketch), k = 5)
+    }),
+
+    // ANN recall-evaluation harness as a first-class query — the eval
+    // loop a pipeline runs when tuning an index: per query, |approx ∩
+    // exact| over the a01 ground truth and the a04 sketch-rerank run,
+    // recall in exact ppm. One equi-join + one aggregate over two top-k
+    // frames of Q·k rows — never corpus-sized regardless of corpus
+    "i09_ann_recall" -> ((s, dir) => {
+      val exact = Ann.bruteForceTopK(emb(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("q_id"), col("c_id"))
+      val apx = Ann.sketchRerankTopK(emb(s, dir), col("vec_id") < 10, k = 5)
+        .select(col("q_id").as("aq"), col("c_id").as("ac"))
+      exact.join(apx, col("q_id") === col("aq") && col("c_id") === col("ac"), "left")
+        .groupBy("q_id").agg(count(col("ac")).as("hits"))
+        .select(col("q_id"), col("hits"),
+          expr("hits * 1000000 div 5").as("recall_e6"))
     }),
 
     // multi-table LSH: 4 independent 8-bit sign tables from the shared
@@ -501,6 +530,15 @@ object QueriesOps {
       graft.ops.CurationOps.decontaminate(
         shingleRows(s, dir).localCheckpoint(true), col("sid") % 89 === 7, minShared = 60)),
 
+    // n-gram contamination RATE (Brown et al. 2020 App. C — the statistic
+    // GPT-3/PaLM publish next to the d10 binary quarantine): per training
+    // doc, the fraction of its distinct 13-char windows found anywhere in
+    // the eval set (did % 89 == 7), with the dirty cut the pipelines apply
+    "d21_contam_rate" -> ((s, dir) =>
+      graft.ops.CurationOps.contaminationRate(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        col("sid") % 89 === 7, n = 13, dirtyPpm = 400000L)),
+
     // MinHash Jaccard ESTIMATION from the 16-wide signatures (matching
     // components / 16) — the cheap filter a pipeline applies between LSH
     // banding and the exact d04 verify; joins only signature rows (one per
@@ -552,6 +590,15 @@ object QueriesOps {
       graft.ops.Sketches.hllDistinct(
         Tables.tokens(s, dir).select(col("source"), explode(col("tokens")).as("tok")),
         "source", "tok", m = 64)),
+
+    // KMV k-minimum-values distinct sketch per source (Beyer et al. 2007):
+    // the 64 smallest distinct token hashes — an O(k) mergeable synopsis
+    // whose (k-1)·P div kth estimator is integer-exact; the set-operation
+    // sibling of s03's HLL (KMV sketches intersect/union, registers don't)
+    "s05_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(
+        Tables.tokens(s, dir).select(col("source"), explode(col("tokens")).as("tok")),
+        "source", "tok", k = 64)),
 
     // Bloom-filter decontamination: eval shingles inserted into a 2^20-bit
     // k=3 filter, training docs quarantined at >= 60 bloom-hit shingles —
@@ -786,6 +833,27 @@ object QueriesOps {
       |  UNION
       |  SELECT e.dst, greach.l FROM greach JOIN gboth e ON e.src = greach.gid)""".stripMargin
 
+  /** a04's sketch-scan → histogram-threshold → candidate CTE chain, shared
+    * verbatim by the a04 oracle and the i09 recall-harness twin.
+    */
+  private val A04Ctes: Seq[String] = Seq(
+    s"""sc AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    cast(floor((${skCosSql("q", "c")}) * 1000000) AS bigint) AS ski
+       |  FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10)""".stripMargin,
+    """thr AS (
+      |  SELECT q_id, max(ski) AS thr FROM (
+      |    SELECT q_id, ski,
+      |      sum(n) OVER (PARTITION BY q_id ORDER BY ski DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(n) OVER (PARTITION BY q_id) AS cnt
+      |    FROM (SELECT q_id, ski, count(*) AS n FROM sc GROUP BY 1, 2))
+      |  WHERE cum >= (cnt + 4) // 5 GROUP BY q_id)""".stripMargin,
+    """cand AS (
+      |  SELECT sc.q_id, sc.c_id FROM sc JOIN thr USING (q_id)
+      |  WHERE sc.ski >= thr.thr)""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "d01_exact_dup" -> withCtes(DupCte)(
       """SELECT md5(text) AS text_hash, count(*) AS dup_cnt, min(doc_id) AS keep_doc_id
@@ -819,6 +887,43 @@ object QueriesOps {
         |  JOIN shingd x ON x.sid = p.doc_a
         |  JOIN shingd y ON y.sid = p.doc_b)
         |WHERE inter > 0""".stripMargin),
+
+    // d22 twin: the t11/d12 per-step-mod window fold at n=16 (the 8-char
+    // end-mod ShingCte fold would overflow int64 at 16 chars), identical
+    // (df asc, tok asc) global order, identical integer prefix length and
+    // size filter, then the d04 list_intersect verification; jac_e6 >=
+    // 500000 equals the exact rational predicate 2·inter >= union
+    "d22_allpairs" -> {
+      val fold = (0 until 16).foldLeft("cast(0 AS bigint)") { (acc, j) =>
+        s"(($acc*31 + ascii(substr(text, cast(i+$j AS int), 1))) % 1000000007)"
+      }
+      withCtes(
+        s"""wind AS (
+           |  SELECT doc_id AS sid,
+           |    list_distinct(list_transform(range(1, greatest(length(text)-15, 0)+1),
+           |      i -> $fold)) AS stoks
+           |  FROM documents)""".stripMargin,
+        "tokr AS (SELECT sid, unnest(stoks) AS tok FROM wind)",
+        "dfr AS (SELECT tok, count(*) AS df FROM tokr GROUP BY 1)",
+        """rkr AS (SELECT sid, tok,
+          |  row_number() OVER (PARTITION BY sid ORDER BY df, tok) AS rn,
+          |  count(*) OVER (PARTITION BY sid) AS len
+          |FROM tokr JOIN dfr USING (tok))""".stripMargin,
+        "prefr AS (SELECT sid, tok, len FROM rkr WHERE rn <= len - ((len + 1) // 2) + 1)",
+        """capairs AS (SELECT DISTINCT a.sid AS doc_a, b.sid AS doc_b
+          |  FROM prefr a JOIN prefr b USING (tok)
+          |  WHERE a.sid < b.sid AND a.len*2 >= b.len AND b.len*2 >= a.len)""".stripMargin)(
+        """SELECT doc_a, doc_b, inter, sz_a, sz_b,
+          |  (inter * 1000000) // (sz_a + sz_b - inter) AS jac_e6
+          |FROM (
+          |  SELECT p.doc_a, p.doc_b,
+          |    len(list_intersect(x.stoks, y.stoks)) AS inter,
+          |    len(x.stoks) AS sz_a, len(y.stoks) AS sz_b
+          |  FROM capairs p
+          |  JOIN wind x ON x.sid = p.doc_a
+          |  JOIN wind y ON y.sid = p.doc_b)
+          |WHERE (inter * 1000000) // (sz_a + sz_b - inter) >= 500000""".stripMargin)
+    },
 
     // transitive closure via recursive CTE — over the GROUP graph, not the
     // doc graph: docs sharing an identical 16-minhash signature are
@@ -1160,23 +1265,25 @@ object QueriesOps {
 
     // twin of the two-pass threshold cut: same quantized-histogram →
     // cumulative-count → max-bucket derivation, then ski >= thr filter
-    "a04_ann_sketch" -> withCtes(EmbCte, SkCte,
-      s"""sc AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         |    cast(floor((${skCosSql("q", "c")}) * 1000000) AS bigint) AS ski
-         |  FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 10)""".stripMargin,
-      """thr AS (
-        |  SELECT q_id, max(ski) AS thr FROM (
-        |    SELECT q_id, ski,
-        |      sum(n) OVER (PARTITION BY q_id ORDER BY ski DESC
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |      sum(n) OVER (PARTITION BY q_id) AS cnt
-        |    FROM (SELECT q_id, ski, count(*) AS n FROM sc GROUP BY 1, 2))
-        |  WHERE cum >= (cnt + 4) // 5 GROUP BY q_id)""".stripMargin,
-      """cand AS (
-        |  SELECT sc.q_id, sc.c_id FROM sc JOIN thr USING (q_id)
-        |  WHERE sc.ski >= thr.thr)""".stripMargin)(RerankSql),
+    "a04_ann_sketch" -> withCtes(EmbCte +: SkCte +: A04Ctes: _*)(RerankSql),
+
+    // i09 twin: a04's CTE chain verbatim (apx) joined against the a01
+    // exact top-5 (exr); recall = per-query hit count in exact ppm
+    "i09_ann_recall" -> withCtes(EmbCte +: SkCte +: A04Ctes :+
+      s"apx AS ($RerankSql)" :+
+      s"""exr AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         |    FROM (
+         |      SELECT q.vec_id AS q_id, c.vec_id AS c_id, ${cosSql("q.v", "c.v")} AS cos
+         |      FROM (SELECT * FROM edd WHERE vec_id < 10) q
+         |      JOIN edd c ON c.vec_id <> q.vec_id))
+         |  WHERE rank <= 5)""".stripMargin: _*)(
+      """SELECT e.q_id, count(a.c_id) AS hits,
+        |  (count(a.c_id) * 1000000) // 5 AS recall_e6
+        |FROM exr e LEFT JOIN apx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+        |GROUP BY e.q_id""".stripMargin),
 
     "t01_langid" ->
       s"SELECT doc_id AS did, $LangPredSql AS lang_pred, lang FROM documents",
@@ -1363,6 +1470,32 @@ object QueriesOps {
       "ov AS (SELECT sid, esid, count(*) AS sh FROM tr JOIN ev USING (g) GROUP BY 1, 2)")(
       "SELECT sid AS did, count(*) AS eval_partners FROM ov WHERE sh >= 60 GROUP BY sid"),
 
+    // d21 twin: the t11 window-fold CTE at n=13 restricted by the d10
+    // eval split; rate and dirty flag in exact integer ppm
+    "d21_contam_rate" -> {
+      val fold = (0 until 13).foldLeft("cast(0 AS bigint)") { (acc, j) =>
+        s"(($acc*31 + ascii(substr(text, cast(i+$j AS int), 1))) % 1000000007)"
+      }
+      s"""WITH ss AS (
+         |  SELECT DISTINCT doc_id AS sid,
+         |    unnest(list_transform(range(1, greatest(length(text)-12, 0)+1),
+         |      i -> $fold)) AS sub
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT sub FROM ss WHERE sid % 89 = 7),
+         |per AS (
+         |  SELECT sid, count(*) AS n_win,
+         |    cast(sum(CASE WHEN ev.sub IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit
+         |  FROM ss LEFT JOIN ev ON ss.sub = ev.sub
+         |  WHERE ss.sid % 89 <> 7 GROUP BY 1)
+         |SELECT d.doc_id AS sid, coalesce(n_win, 0) AS n_win,
+         |  coalesce(n_hit, 0) AS n_hit,
+         |  coalesce((n_hit * 1000000) // n_win, 0) AS contam_e6,
+         |  cast(CASE WHEN coalesce((n_hit * 1000000) // n_win, 0) >= 400000
+         |       THEN 1 ELSE 0 END AS bigint) AS dirty
+         |FROM documents d LEFT JOIN per ON per.sid = d.doc_id
+         |WHERE d.doc_id % 89 <> 7""".stripMargin
+    },
+
     "s02_countmin" -> {
       val P = 2147483647L
       def a(j: Int) = (2654435761L * (j + 1)) % P
@@ -1406,6 +1539,25 @@ object QueriesOps {
            |    FROM regs GROUP BY source)))""".stripMargin)(
         """SELECT e.source, e.hll_est, x.exact FROM est e
           |JOIN (SELECT source, count(DISTINCT tok) AS exact FROM tv GROUP BY 1) x USING (source)""".stripMargin)
+    },
+
+    // s05 twin: same h(0, ·) hash as s03, plain per-source rank (the salted
+    // two-level rank is a pure execution-shape choice — same k smallest)
+    "s05_kmv_distinct" -> {
+      val P = 2147483647L
+      val (a0, b0) = (2654435761L % P, 1013904223L % P)
+      withCtes(ToksCte,
+        "tv AS (SELECT source, cast(unnest(tokens) AS bigint) AS tok FROM toks)",
+        s"hv AS (SELECT DISTINCT source, ($a0*(tok % $P) + $b0) % $P AS hv FROM tv)",
+        """rk AS (SELECT source, hv,
+          |  row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM hv)""".stripMargin,
+        """sk AS (SELECT source, max(CASE WHEN rn = 64 THEN hv END) AS kth,
+          |  count(*) AS nk FROM rk WHERE rn <= 64 GROUP BY 1)""".stripMargin)(
+        s"""SELECT s.source,
+           |  cast(CASE WHEN nk < 64 THEN nk ELSE ${63L * P} // kth END AS bigint) AS kmv_est,
+           |  x.exact
+           |FROM sk s
+           |JOIN (SELECT source, count(DISTINCT tok) AS exact FROM tv GROUP BY 1) x USING (source)""".stripMargin)
     },
 
     "s04_bloom_decontam" -> {

@@ -100,6 +100,45 @@ object CurationOps {
       .select(col("sid").as("did"), col("eval_partners"))
   }
 
+  /** Per-document n-gram eval-contamination RATE — the GPT-3 appendix-C
+    * measurement (Brown et al. 2020; PaLM reports the same statistic):
+    * instead of [[decontaminate]]'s binary per-partner verdict, every
+    * training document reports what FRACTION of its distinct n-char
+    * windows also occurs anywhere in the eval set, plus the `dirty` flag
+    * the published pipelines cut on. Short documents (no full window)
+    * surface with n_win = 0 and rate 0, never silently dropped.
+    *
+    * Shape at scale: one codegen WindowHashes slide per document; the
+    * distinct (doc, window-hash) frame materializes ONCE (localCheckpoint
+    * — it feeds both the eval-set projection and the train side), the
+    * eval window set is BROADCAST (benchmark suites are fixed and tiny
+    * next to a 100 TB corpus) so the corpus never shuffles on the window
+    * hash, and the per-doc rollup is one map-side-combined aggregate.
+    *
+    * `evalPred` is a predicate over the `sid` column. Output per training
+    * doc: (sid, n_win, n_hit, contam_e6, dirty) — all exact integers.
+    */
+  def contaminationRate(docs: DataFrame, evalPred: Column, n: Int,
+                        dirtyPpm: Long): DataFrame = {
+    val win = docs.select(col("doc_id").as("sid"),
+        explode(graft.functions.WindowHashes.of(col("text"), n)).as("sub"))
+      .distinct().localCheckpoint(true)
+    val ev = win.where(evalPred).select("sub").distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = win.where(!evalPred)
+      .join(broadcast(ev), Seq("sub"), "left")
+      .groupBy("sid").agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.select(col("doc_id").as("sid")).where(!evalPred)
+      .join(perDoc, Seq("sid"), "left")
+      .select(col("sid"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(expr("n_hit * 1000000 div n_win"), lit(0L)).as("contam_e6"))
+      .withColumn("dirty",
+        when(col("contam_e6") >= dirtyPpm, 1L).otherwise(0L))
+  }
+
   /** Deterministic domain-mix resampling: keep each document with a
     * per-source target rate, decided by a multiplicative-hash draw on
     * doc_id (no RNG — reproducible across runs, engines, and cluster

@@ -316,6 +316,72 @@ object DedupOps {
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
   }
 
+  /** EXACT all-pairs similarity self-join by prefix filtering (Bayardo,
+    * Ma & Srikant 2007, "Scaling Up All Pairs Similarity Search"; the
+    * candidate lemma is Chaudhuri et al. 2006 / Xiao et al. 2008 PPJoin,
+    * the size filter is Arasu et al. 2006): every document pair with
+    * token-set Jaccard ≥ t — no LSH probability of a miss, unlike
+    * [[lshCandidatesRows]]. Two exact filters bound the candidates:
+    * (1) PREFIX — order all tokens globally by (document frequency asc,
+    * token asc) and keep each document's first L − ceil(t·L) + 1 tokens;
+    * J(A,B) ≥ t implies |A∩B| ≥ ceil(t·max(|A|,|B|)), so two qualifying
+    * documents must collide inside both prefixes — only prefix rows ever
+    * join, and the prefix keeps each document's RAREST tokens, so the
+    * inverted lists the join walks are the short tail of the df
+    * distribution, not the boilerplate head. (2) SIZE — J ≥ 1/2 forces
+    * 2·min(|A|,|B|) ≥ max(|A|,|B|) (inter ≤ min and inter ≥ max/2), a
+    * pushed-down predicate on the candidate join itself.
+    *
+    * The token BASIS is the caller's lever against dense corpora: on this
+    * corpus 8-char shingles leave 71 % of ALL pairs as candidates (the
+    * shared small vocabulary makes every "rare" 8-gram common — measured
+    * 8.8 M candidates over 5 000 docs), while 16-char window hashes make
+    * the df tail genuinely heavy and cut candidates 100× (87 k) for the
+    * identical true-pair set. Pass the widest window the near-dup
+    * definition tolerates.
+    *
+    * Shape at scale: the df table is one map-side-combined aggregate; the
+    * rank window is bounded by a single document's token count; the
+    * candidate join is an equi-join on the prefix token (low-df keys by
+    * construction — AQE skew-join covers a pathological corpus); the
+    * verify is the d04 explicit two-key join over candidates only. The
+    * distinct (sid, tok) frame feeds four consumers — materialize once
+    * upstream ([[jaccardRows]] precondition: rows distinct per (sid, tok)).
+    *
+    * tE6 is the Jaccard threshold in microunits; both filters are derived
+    * for t = 1/2 — the emitted jac_e6 floor-division cut equals the exact
+    * rational predicate 2·inter ≥ |A∪B|.
+    */
+  def allPairsSimilarity(rows: DataFrame, tE6: Long): DataFrame = {
+    require(tE6 == 500000L, "prefix and size filters are derived for t = 1/2")
+    val df = rows.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = rows.join(df, "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sid").orderBy("df", "tok")))
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("sid")))
+    // p = L - ceil(L/2) + 1 with ceil(L/2) = (L+1) div 2 — integer-exact
+    // both sides of the candidate self-join read this frame — materialize
+    // once or the df join + two windows execute per side (the a05/a06 trap)
+    val pref = ranked.where(col("rn") <= col("len") - expr("(len + 1) div 2") + 1)
+      .select("sid", "tok", "len").localCheckpoint(true)
+    val cand = pref.as("a").join(pref.as("b"), "tok")
+      .where(col("a.sid") < col("b.sid") &&
+        col("a.len") * 2 >= col("b.len") && col("b.len") * 2 >= col("a.len"))
+      .select(col("a.sid").as("doc_a"), col("b.sid").as("doc_b")).distinct()
+    val sizes = rows.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val toksB = rows.select(col("sid").as("__doc_b"), col("tok").as("tok_b"))
+    val inter = cand
+      .join(rows.select(col("sid").as("doc_a"), col("tok").as("tok_a")), "doc_a")
+      .join(toksB, col("doc_b") === col("__doc_b") && col("tok_a") === col("tok_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("sid").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("sid").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jac_e6", expr("inter * 1000000 div (sz_a + sz_b - inter)"))
+      .where(col("jac_e6") >= tE6)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jac_e6")
+  }
+
   /** Incremental MinHash-LSH near-dup detection against an indexed corpus —
     * the daily-delta path of dedup at 100 TB: the standing corpus's band
     * keys are a precomputed artifact (in production they live alongside the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Frequency and cardinality sketches, built distributively from explode +
@@ -88,6 +89,45 @@ object Sketches {
           .otherwise(round(col("raw"))).cast("long"))
     val exact = values.groupBy(groupCol).agg(countDistinct(v).as("exact"))
     est.join(exact, groupCol).select(col(groupCol), col("hll_est"), col("exact"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group — Beyer et
+    * al. 2007, "On Synopses for Distinct-Value Estimation Under Multiset
+    * Operations": keep the k smallest distinct hash values per group;
+    * with U_(k) the k-th smallest of a hash uniform on [0, P), the
+    * estimator is (k-1)·P / U_(k) — here exact int64 division, so both
+    * engines agree bit-for-bit (no float ever appears). A group holding
+    * fewer than k distinct hashes reports its sketch size: the sketch IS
+    * the exact set there. The exact distinct count rides alongside, like
+    * the s03 HLL row — the gap is the estimator's error at this k.
+    *
+    * Shape at scale: the k smallest per group come from a SALTED
+    * two-level rank (the repo's top-k idiom): rank within
+    * (group, hv mod salts) — each salt partition holds ~1/salts of the
+    * group's hashes — keep k, then a final rank over the ≤ salts·k
+    * survivors. No group-wide sort touches the corpus at any size, and
+    * the synopsis is O(k) per group regardless of input rows — the
+    * mergeable-summary property that makes KMV the set-operation sketch
+    * (union = merge-and-cut, unlike HLL registers which only union).
+    */
+  def kmvDistinct(values: DataFrame, groupCol: String, valueCol: String,
+                  k: Int, salts: Int = 32): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val dist = values.select(col(groupCol), h(0, v).as("hv")).distinct()
+    val w1 = Window.partitionBy(col(groupCol), col("hv") % salts).orderBy("hv")
+    val pre = dist.withColumn("rn", row_number().over(w1))
+      .where(col("rn") <= k).drop("rn")
+    val w2 = Window.partitionBy(groupCol).orderBy("hv")
+    val sk = pre.withColumn("rn", row_number().over(w2)).where(col("rn") <= k)
+      .groupBy(groupCol).agg(
+        max(when(col("rn") === k, col("hv"))).as("kth"),
+        count(lit(1)).as("nk"))
+    val exact = values.groupBy(groupCol).agg(countDistinct(v).as("exact"))
+    sk.join(exact, groupCol)
+      .select(col(groupCol),
+        when(col("nk") < k, col("nk"))
+          .otherwise(expr(s"${(k - 1).toLong * P} div kth")).as("kmv_est"),
+        col("exact"))
   }
 
   /** Bloom-filter decontamination — the fixed-size-filter variant of

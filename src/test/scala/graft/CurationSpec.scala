@@ -28,6 +28,23 @@ class CurationSpec extends SparkSpec {
     assert(r(2L)._1 < 200000L && r(2L)._2 === 0L)
   }
 
+  test("contaminationRate: hand-computed rates, eval excluded, short docs kept at 0") {
+    // eval doc 7 (7 % 89 == 7) has 4-char windows {abcd,bcde,cdef,defg};
+    // doc 0 shares abcd out of its 2 windows -> 500000 ppm (dirty at 400k);
+    // doc 1 shares nothing; doc 2 is too short for any window
+    val docs = Seq(
+      (7L, "abcdefg"), (0L, "abcdx"), (1L, "zzzzq"), (2L, "xy")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.contaminationRate(docs, col("sid") % 89 === 7,
+        n = 4, dirtyPpm = 400000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L)) // eval doc never reports
+    assert(out(0L) === ((2L, 1L, 500000L, 1L)))
+    assert(out(1L) === ((2L, 0L, 0L, 0L)))
+    assert(out(2L) === ((0L, 0L, 0L, 0L))) // no window: surfaced, not dropped
+  }
+
   test("decontamination flags a planted eval copy and nothing unrelated") {
     // eval doc 7 (7 % 89 == 7); doc 100 is a verbatim copy, doc 101 disjoint
     val docs = Seq(

@@ -135,6 +135,41 @@ class OpsSpec extends SparkSpec {
     assert(!j.contains((1L, 3L))) // no common token → dropped by the join
   }
 
+  test("allPairsSimilarity == brute force at the J=1/2 boundary (exact, no LSH miss)") {
+    // constructed boundary corpus: (1,2) J=4/8=0.5 exactly (kept), (3,4)
+    // J=2/4=0.5 (kept), (5,6) J=1/5 (dropped), (7,8) disjoint (dropped)
+    val rows = Seq(
+      1L -> Seq(1, 2, 3, 4), 2L -> Seq(1, 2, 3, 4, 5, 6, 7, 8),
+      3L -> Seq(11, 12, 13), 4L -> Seq(11, 12, 14),
+      5L -> Seq(21, 22, 23), 6L -> Seq(21, 24, 25),
+      7L -> Seq(31, 32), 8L -> Seq(33, 34)
+    ).flatMap { case (s, ts) => ts.map(t => (s, t)) }.toDF("sid", "tok")
+    val got = DedupOps.allPairsSimilarity(rows, tE6 = 500000L)
+      .select("doc_a", "doc_b", "jac_e6").as[(Long, Long, Long)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got === Map((1L, 2L) -> 500000L, (3L, 4L) -> 500000L))
+
+    // corpus-level exactness: equals driver-side brute force over ALL pairs
+    // (the oracle mirrors the prefix filter, so only brute force can catch
+    // a false negative of the candidate lemma)
+    val sets = Tables.documents(spark, Sf)
+      .select(col("doc_id").cast("long").as("sid"),
+        DedupOps.shingleTokens(col("text"), 8).as("stoks"))
+      .as[(Long, Seq[Int])].collect().map { case (s, ts) => (s, ts.toSet) }
+    val brute = (for {
+      i <- sets.indices.iterator; j <- (i + 1) until sets.length
+      (sa, ta) = sets(i); (sb, tb) = sets(j)
+      inter = (ta & tb).size
+      if inter > 0 && 2L * inter >= (ta.size + tb.size - inter)
+      (a, b) = if (sa < sb) (sa, sb) else (sb, sa)
+    } yield (a, b)).toSet
+    val sh = DedupOps.shingleRows(Tables.documents(spark, Sf), "doc_id", "text", 8)
+    val full = DedupOps.allPairsSimilarity(sh.localCheckpoint(true), tE6 = 500000L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(full === brute, s"prefix filter diverged from brute force: " +
+      s"missed=${(brute -- full).take(3)} extra=${(full -- brute).take(3)}")
+  }
+
   test("LSH candidates recover planted near-duplicate pairs (recall on jaccard>=0.9)") {
     val sh = Tables.documents(spark, Sf).select(col("doc_id").cast("long").as("sid"),
       DedupOps.shingleTokens(col("text"), 8).as("stoks"))

@@ -26,6 +26,26 @@ class SketchesSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(2) > r.getLong(1)))
   }
 
+  test("KMV: salted two-level rank == sequential kth; exact below k; sane error band") {
+    import spark.implicits._
+    val P = 2147483647L
+    def h(v: Long): Long = ((2654435761L % P) * (v % P) + 1013904223L % P) % P
+    // groups far above k exercise the estimator; one group below k (the
+    // sketch IS the exact set there)
+    val vals = ((1L to 5000L).map(v => ("big", v)) ++
+      (1L to 10L).map(v => ("tiny", v * 7777))).toDF("g", "v")
+    val out = Sketches.kmvDistinct(vals, "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("tiny") === ((10L, 10L))) // below k: sketch = exact set
+    // sequential reference for the kth smallest distinct hash
+    val kth = (1L to 5000L).map(h).distinct.sorted.apply(63)
+    assert(out("big")._1 === 63L * P / kth, "two-level rank diverged from sequential kth")
+    // Beyer et al. stderr ~ 1/sqrt(k-2) ≈ 12.7%; 4 sigma is a safe CI bound
+    val (est, exact) = out("big")
+    assert(math.abs(est - exact).toDouble / exact < 0.51,
+      s"KMV estimate $est too far from exact $exact at k=64")
+  }
+
   test("bloom decontamination: superset of exact, hits >= exact overlap per doc") {
     import graft.ops.{CurationOps, DedupOps}
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")

@@ -333,6 +333,30 @@ object QueriesOps {
     "t13_keywords" -> ((s, dir) =>
       Retrieval.tfidfKeywords(docs(s, dir), m = 3)),
 
+    // two-stage retrieve-then-rerank — the canonical hybrid RAG retrieval
+    // shape: cheap lexical recall (the i06 BM25 top-20 verbatim) followed
+    // by exact dense-cosine rerank of ONLY those candidates against the
+    // query vector (vec_id 0, broadcast scalar), top-5 by (cos desc, id).
+    // Stage 2 touches k rows however big the corpus: the dense join is
+    // candidates→embeddings, never corpus→corpus (the reason pipelines
+    // stage retrieval instead of dense-scanning everything); candidates
+    // without an embedding fall out of the rerank by definition
+    "i10_retrieve_rerank" -> ((s, dir) => {
+      val cands = Retrieval.bm25TopK(docs(s, dir), Bm25Terms, k = 20)
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      cands.join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", Ann.cosine(col("v"), col("qv")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("cos").desc, col("doc_id"))))
+        .where(col("rank") <= 5)
+        .select(col("doc_id"), col("score_e6"),
+          round(col("cos") * 1e6).cast("long").as("cos_e6"),
+          col("rank"))
+    }),
+
     // corpus data-card report (the datasheet block every released corpus
     // publishes): doc/char/token totals, source and distinct-text
     // cardinalities, summed quality — ONE map-side-combined aggregate
@@ -1917,6 +1941,24 @@ object QueriesOps {
         |WHERE rank <= 4""".stripMargin),
 
     "i06_bm25" -> Retrieval.bm25OracleSql(Bm25Terms, 20),
+
+    // i10 twin: the full i06 BM25 statement nested as the candidate CTE
+    // (DuckDB allows WITH inside a CTE body), then the exact 6-dp cosine
+    // rerank against vec 0 over candidates only
+    "i10_retrieve_rerank" -> withCtes(
+      s"cands AS (${Retrieval.bm25OracleSql(Bm25Terms, 20)})",
+      EmbCte,
+      s"""rr AS (
+         |  SELECT c.doc_id, c.score_e6, ${cosSql("q.v", "d.v")} AS cos
+         |  FROM cands c
+         |  JOIN edd d ON d.vec_id = c.doc_id
+         |  CROSS JOIN (SELECT v FROM edd WHERE vec_id = 0) q)""".stripMargin)(
+      """SELECT doc_id, score_e6, cos_e6, rank FROM (
+        |  SELECT doc_id, score_e6,
+        |    cast(round(cos*1000000) AS bigint) AS cos_e6,
+        |    cast(row_number() OVER (ORDER BY cos DESC, doc_id) AS int) AS rank
+        |  FROM rr)
+        |WHERE rank <= 5""".stripMargin),
 
     "t13_keywords" -> Retrieval.tfidfOracleSql(3),
 

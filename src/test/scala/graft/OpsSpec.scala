@@ -265,6 +265,20 @@ class OpsSpec extends SparkSpec {
       10L -> p(1), 13L -> p(3)))
   }
 
+  test("retrieve-then-rerank: output within the lexical candidate set, ordered by cosine") {
+    val out = SparkEntry.queries("i10_retrieve_rerank")(spark, Sf)
+      .orderBy("rank").collect()
+    assert(out.length === 5)
+    val candIds = graft.ops.Retrieval.bm25TopK(
+        Tables.documents(spark, Sf), Seq("hash", "merge", "window", "spark"), k = 20)
+      .select("doc_id").as[Long].collect().toSet
+    out.foreach(r => assert(candIds.contains(r.getLong(0)),
+      s"reranked doc ${r.getLong(0)} was not a lexical candidate"))
+    // final order is the DENSE order: cos_e6 non-increasing with rank
+    val cosByRank = out.map(_.getLong(2))
+    assert(cosByRank.zip(cosByRank.tail).forall { case (a, b) => a >= b })
+  }
+
   test("semi-hard negatives sit strictly inside the band below the positive") {
     // unit vectors with exact 6-dp cosines to the anchor (1,0):
     // v1 → 0.6, v2 → 0.8 (the positive), v3 → 0.0, v4 → −1.0

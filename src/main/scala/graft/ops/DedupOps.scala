@@ -358,7 +358,12 @@ object DedupOps {
     val ranked = rows.join(df, "tok")
       .withColumn("rn", row_number().over(
         Window.partitionBy("sid").orderBy("df", "tok")))
-      .withColumn("len", count(lit(1)).over(Window.partitionBy("sid")))
+      // same partition AND sort as the rank window (unbounded frame ⇒ same
+      // value as an unordered count) so Catalyst collapses both into ONE
+      // Window operator — one sort of the token frame, not two
+      .withColumn("len", count(lit(1)).over(
+        Window.partitionBy("sid").orderBy("df", "tok")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // p = L - ceil(L/2) + 1 with ceil(L/2) = (L+1) div 2 — integer-exact
     // both sides of the candidate self-join read this frame — materialize
     // once or the df join + two windows execute per side (the a05/a06 trap)
@@ -368,15 +373,22 @@ object DedupOps {
       .where(col("a.sid") < col("b.sid") &&
         col("a.len") * 2 >= col("b.len") && col("b.len") * 2 >= col("a.len"))
       .select(col("a.sid").as("doc_a"), col("b.sid").as("doc_b")).distinct()
-    val sizes = rows.groupBy("sid").agg(count(lit(1)).as("sz"))
-    val toksB = rows.select(col("sid").as("__doc_b"), col("tok").as("tok_b"))
-    val inter = cand
-      .join(rows.select(col("sid").as("doc_a"), col("tok").as("tok_a")), "doc_a")
-      .join(toksB, col("doc_b") === col("__doc_b") && col("tok_a") === col("tok_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("sid").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("sid").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+    // verify via per-pair set intersection on collected token ARRAYS (the
+    // same fix the d04 oracle made: the explicit two-key token join pushes
+    // |pairs|·|doc| exploded rows through a shuffle — 23M at sf0.1 for 87k
+    // candidates — while the array join ships each candidate doc's tokens
+    // once and intersects in place; array_intersect is a native expression,
+    // not a CodegenFallback HOF, and both inputs are distinct so size() is
+    // the exact set intersection)
+    val docsArr = rows.groupBy("sid")
+      .agg(collect_list(col("tok")).as("ts"), count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    cand
+      .join(docsArr.select(col("sid").as("doc_a"),
+        col("ts").as("ta"), col("sz").as("sz_a")), "doc_a")
+      .join(docsArr.select(col("sid").as("doc_b"),
+        col("ts").as("tb"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jac_e6", expr("inter * 1000000 div (sz_a + sz_b - inter)"))
       .where(col("jac_e6") >= tE6)
       .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jac_e6")

@@ -667,6 +667,15 @@ object QueriesOps {
       graft.ops.CurationOps.temperatureMix(
         Tables.tokens(s, dir).select(col("source"), col("n_tok")))),
 
+    // data-constrained epoch schedule (Muennighoff et al. 2023): a
+    // 3-corpus-worth budget split by the k12 sqrt weights, each source
+    // capped at 3 passes over its unique tokens; unique/repeated split
+    // and the capped flag per source — all int64, overflow-safe alloc
+    "k16_epoch_schedule" -> ((s, dir) =>
+      graft.ops.CurationOps.epochSchedule(
+        Tables.tokens(s, dir).select(col("source"), col("n_tok")),
+        budgetX = 3, capEpochs = 3)),
+
     // semantic clustering (SemDeDup stage 1 / trained-IVF index build):
     // 2-iteration Lloyd k-means in sketch space, division-free
     // sum-centroids so every value stays exact int64 (see Ann scaladoc)
@@ -1693,6 +1702,30 @@ object QueriesOps {
       """SELECT source, n_docs, tok, weight_ppm, samp_tok,
         |  (samp_tok // tok) * 1000000 + ((samp_tok % tok) * 1000000) // tok AS epochs_e6
         |FROM m""".stripMargin),
+
+    // k16 twin: k12's per/w/tot CTEs, a 3x budget through the same
+    // overflow-safe floor identity, least() cap at 3 epochs
+    "k16_epoch_schedule" -> withCtes(ToksCte,
+      """per AS (SELECT source,
+        |    cast(sum(cast(len(tokens) AS bigint)) AS bigint) AS tok
+        |  FROM toks GROUP BY 1),
+        |w AS (SELECT source, tok,
+        |    cast(floor(sqrt(cast(tok AS double))) AS bigint) AS w
+        |  FROM per WHERE tok > 0),
+        |tot AS (SELECT cast(sum(w) AS bigint) AS sum_w,
+        |    cast(sum(tok) AS bigint) AS t_tot FROM w),
+        |al AS (SELECT source, tok, w, alloc_raw,
+        |    least(alloc_raw, tok * 3) AS alloc
+        |  FROM (SELECT source, tok, w,
+        |      (budget // sum_w) * w + ((budget % sum_w) * w) // sum_w AS alloc_raw
+        |    FROM (SELECT source, tok, w, t_tot * 3 AS budget, sum_w
+        |          FROM w CROSS JOIN tot)))""".stripMargin)(
+      """SELECT source, tok, w, alloc_raw, alloc,
+        |  (alloc // tok) * 1000000 + ((alloc % tok) * 1000000) // tok AS epochs_e6,
+        |  least(alloc, tok) AS unique_tok,
+        |  alloc - least(alloc, tok) AS repeated_tok,
+        |  cast(CASE WHEN alloc_raw > tok * 3 THEN 1 ELSE 0 END AS bigint) AS capped
+        |FROM al""".stripMargin),
 
     "d12_repeat_substr" -> {
       val fold = (0 until 24).foldLeft("cast(0 AS bigint)") { (acc, j) =>

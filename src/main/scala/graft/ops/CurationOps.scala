@@ -192,6 +192,45 @@ object CurationOps {
         expr("(samp_tok div tok) * 1000000 + (samp_tok % tok) * 1000000 div tok").as("epochs_e6"))
   }
 
+  /** Data-constrained epoch schedule (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): given a token budget of
+    * `budgetX` corpus-worths, allocate it across sources by the k12
+    * temperature weights (w = floor(sqrt(tok))), then CAP each source at
+    * `capEpochs` passes over its unique tokens — the paper's central
+    * finding is that repeating data is near-free up to ~4 epochs and
+    * rapidly decays after, so a mixture planner clips there rather than
+    * letting upweighted small domains spin. Per source: raw allocation,
+    * capped allocation, epochs (e6), the unique/repeated token split the
+    * scaling law consumes, and the capped flag.
+    *
+    * Integer-exact: the raw allocation uses the overflow-safe
+    * floor(a·b/c) = (a div c)·b + ((a mod c)·b) div c identity (B·w would
+    * pass int64 at real token counts); everything else is int64
+    * min/div. Shape at scale: one map-side-combined aggregate to
+    * |sources| rows, a broadcast single-row normalizer — nothing
+    * corpus-sized moves.
+    */
+  def epochSchedule(toks: DataFrame, budgetX: Int, capEpochs: Int): DataFrame = {
+    val per = toks.groupBy("source")
+      .agg(sum(col("n_tok").cast("long")).as("tok"))
+      .where(col("tok") > 0)
+      .select(col("source"), col("tok"),
+        floor(sqrt(col("tok").cast("double"))).cast("long").as("w"))
+    val tot = per.agg(sum("w").as("sum_w"), sum("tok").as("t_tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", col("t_tot") * budgetX)
+      .withColumn("alloc_raw",
+        expr("(budget div sum_w) * w + (budget % sum_w) * w div sum_w"))
+      .withColumn("alloc", least(col("alloc_raw"), col("tok") * capEpochs))
+      .select(col("source"), col("tok"), col("w"), col("alloc_raw"), col("alloc"),
+        expr("(alloc div tok) * 1000000 + (alloc % tok) * 1000000 div tok")
+          .as("epochs_e6"),
+        least(col("alloc"), col("tok")).as("unique_tok"),
+        (col("alloc") - least(col("alloc"), col("tok"))).as("repeated_tok"),
+        when(col("alloc_raw") > col("tok") * capEpochs, 1L).otherwise(0L)
+          .as("capped"))
+  }
+
   /** Character-trigram corpus-familiarity score (the CCNet quality-bucket
     * idea with an integer frequency table as the LM): the corpus's global
     * trigram counts are the model; a document scores the mean corpus

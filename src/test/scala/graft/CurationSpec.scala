@@ -28,6 +28,25 @@ class CurationSpec extends SparkSpec {
     assert(r(2L)._1 < 200000L && r(2L)._2 === 0L)
   }
 
+  test("epochSchedule: hand-computed cap/split on a skewed two-source corpus") {
+    // tok: small=100 (w=10), big=10000 (w=100); B=3*10100=30300, sum_w=110
+    // small alloc_raw = floor(30300*10/110)=2754 > 3*100  -> capped at 300
+    // big   alloc_raw = floor(30300*100/110)=27545 <= 30000 -> uncapped
+    val toks = Seq(("small", 100L), ("big", 10000L)).toDF("source", "n_tok")
+    val out = CurationOps.epochSchedule(toks, budgetX = 3, capEpochs = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    // (alloc_raw, alloc, epochs_e6, unique, repeated, capped)
+    assert(out("small") === ((2754L, 300L, 3000000L, 100L, 200L, 1L)))
+    assert(out("big") === ((27545L, 27545L, 2754500L, 10000L, 17545L, 0L)))
+    // invariants: alloc = unique + repeated, unique <= tok, alloc <= cap*tok
+    out.foreach { case (_, (raw, alloc, _, uniq, rep, capped)) =>
+      assert(alloc === uniq + rep)
+      assert(if (capped == 1L) alloc < raw else alloc === raw)
+    }
+  }
+
   test("contaminationRate: hand-computed rates, eval excluded, short docs kept at 0") {
     // eval doc 7 (7 % 89 == 7) has 4-char windows {abcd,bcde,cdef,defg};
     // doc 0 shares abcd out of its 2 windows -> 500000 ppm (dirty at 400k);

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  private val P = 2147483647L
+  private[graft] val P = 2147483647L
 
-  private def h(j: Int, v: Column): Column =
+  private[graft] def h(j: Int, v: Column): Column =
     // v reduced into P first: A·v overflows int64 for raw values past
     // ~3.4e9 (and the SQL twin would error rather than wrap)
     (lit((2654435761L * (j + 1)) % P) * (v % lit(P)) + lit((1013904223L * (j + 1)) % P)) % lit(P)

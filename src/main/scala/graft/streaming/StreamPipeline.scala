@@ -167,6 +167,44 @@ object StreamPipeline {
     docs.withColumn("dsir_score", score).where(col("dsir_score") >= minScore)
   }
 
+  /** Streaming KMV distinct-cardinality monitor — the live dashboard form
+    * of [[graft.ops.Sketches.kmvDistinct]]: per group, state is the k
+    * smallest DISTINCT hash values seen so far, and folding a micro-batch
+    * in is exactly the KMV union operation (Beyer et al. 2007: union =
+    * merge-and-cut — the mergeability that makes KMV the set-operation
+    * sketch). State is O(k) longs per group FOREVER, regardless of stream
+    * length — no watermark needed, cardinality monitoring never evicts.
+    * Each update emits the group's refreshed (kth, sketch fill, estimate)
+    * row; the estimator is the same exact-integer (k−1)·P div kth as the
+    * batch op, so a drained stream's last row per group equals the batch
+    * sketch over the same rows bit-for-bit (StreamingSpec law).
+    *
+    * `values`: streaming (source string, v long) rows.
+    */
+  def kmvMonitor(values: DataFrame, k: Int): DataFrame = {
+    import values.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val P = graft.ops.Sketches.P
+    values.select(col("source"),
+        graft.ops.Sketches.h(0, col("v").cast("long")).as("hv"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, Long, Int, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (src, rows, state) =>
+          val merged = (state.getOption.getOrElse(Array.empty[Long]) ++
+            rows.map(_._2)).distinct.sorted.take(k)
+          if (merged.isEmpty) Iterator.empty
+          else {
+            state.update(merged)
+            val nk = merged.length
+            val est = if (nk < k) nk.toLong else (k - 1).toLong * P / merged.last
+            Iterator((src, merged.last, nk, est))
+          }
+      }
+      .toDF("source", "kth", "nk", "kmv_est")
+  }
+
   /** Gap-based session aggregate in native Structured Streaming form:
     * `session_window` merges events separated by less than `gap`, the
     * watermark bounds session state (a session older than the horizon can

@@ -206,6 +206,38 @@ class StreamingSpec extends SparkSpec {
     assert(sel.values.exists(_ < 0L))
   }
 
+  test("streaming KMV monitor: drained last-row-per-group == batch sketch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // deterministic multi-source value stream with cross-batch duplicates:
+    // the union-with-state path must dedup against hashes seen in EARLIER
+    // batches, not just within one
+    val rows = (1L to 3000L).map(v => (s"src${v % 3}", v * 37 % 1000))
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamPipeline.kmvMonitor(mem.toDF().toDF("source", "v"), k = 64)
+      .writeStream.format("memory").queryName("kmv_mon").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    rows.grouped(700).foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    q.stop()
+    // final row per source, order-independently: the sketch's kth value is
+    // monotone NONINCREASING as hashes accumulate, so the last emission is
+    // the min-kth row
+    val got = spark.table("kmv_mon").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getLong(3))))
+      .groupBy(_._1).map { case (src, rs) => src -> rs.map(_._2).minBy(_._1) }
+    val batch = graft.ops.Sketches.kmvDistinct(
+        rows.toDF("source", "v"), "source", "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === batch.keySet)
+    got.foreach { case (src, (_, _, est)) =>
+      assert(est === batch(src)._1, s"stream est diverged from batch for $src")
+    }
+    // the monitor ran statefully: one emission per source per non-empty batch
+    assert(spark.table("kmv_mon").count() > 3)
+  }
+
   test("watermarked aggregate DROPS rows arriving later than the watermark") {
     // explicit late-data semantics, not just drained-input parity: batch 1
     // advances the watermark past window A; a window-A row in batch 2 is

@@ -286,6 +286,24 @@ object QueriesOps {
           expr("hits * 1000000 div 5").as("recall_e6"))
     }),
 
+    // IVF cell-balance report — the index-build audit every ANN
+    // deployment runs before serving: per-cell member counts of the a03
+    // coarse assignment, each cell's corpus share, and the imbalance
+    // factor max/mean (how much a hot cell inflates worst-case probe
+    // cost). Bounded output (≤ nCells rows); the one corpus pass is the
+    // shared assignment artifact itself
+    "i11_ivf_balance" -> ((s, dir) => {
+      val per = Ann.ivfAssignment(emb(s, dir))
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum("n").as("tot"), count(lit(1)).as("n_cells"),
+        max("n").as("max_n"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n"),
+          expr("n * 1000000 div tot").as("share_ppm"),
+          expr("max_n * n_cells * 1000000 div tot").as("imbalance_e6"),
+          col("n_cells"))
+    }),
+
     // multi-table LSH: 4 independent 8-bit sign tables from the shared
     // integer sketch; candidates = union over tables (key cardinality
     // 4·2^8 — no low-cardinality shuffle key at scale)
@@ -887,6 +905,24 @@ object QueriesOps {
       |  SELECT sc.q_id, sc.c_id FROM sc JOIN thr USING (q_id)
       |  WHERE sc.ski >= thr.thr)""".stripMargin)
 
+  /** a03's coarse-centroid + assignment-rank CTE chain, shared verbatim by
+    * the a03 oracle and the i11 cell-balance twin.
+    */
+  private val A03AsnCtes: Seq[String] = {
+    def chain(f: Int => String) = (0 until 32).map(f).mkString(" + ")
+    val dot = chain(t => s"k.s$t*c.c$t")
+    val cnorm = chain(t => s"c.c$t*c.c$t")
+    val centCols = (0 until 32).map(t => s"s$t AS c$t").mkString(", ")
+    Seq(
+      s"""cent AS (SELECT vec_id AS cid, $centCols FROM sk
+         |  WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 256)""".stripMargin,
+      s"""asn AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cast(($dot) AS double)/sqrt(cast(($cnorm) AS double)) DESC, cid) AS cr
+         |  FROM sk k CROSS JOIN cent c)""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
     "d01_exact_dup" -> withCtes(DupCte)(
       """SELECT md5(text) AS text_hash, count(*) AS dup_cnt, min(doc_id) AS keep_doc_id
@@ -1415,24 +1451,23 @@ object QueriesOps {
     // twin of the sketch-space IVF: centroid sketches from the shared sk
     // CTE, 32-term int64 dot chains (same left-assoc order as the Spark
     // chain), score = dot/sqrt(cnorm) in doubles
-    "a03_ann_ivf" -> {
-      def chain(f: Int => String) = (0 until 32).map(f).mkString(" + ")
-      val dot = chain(t => s"k.s$t*c.c$t")
-      val cnorm = chain(t => s"c.c$t*c.c$t")
-      val centCols = (0 until 32).map(t => s"s$t AS c$t").mkString(", ")
-      withCtes(EmbCte, SkCte,
-        s"""cent AS (SELECT vec_id AS cid, $centCols FROM sk
-           |  WHERE vec_id % 13 = 7 ORDER BY vec_id LIMIT 256)""".stripMargin,
-        s"""asn AS (
-           |  SELECT vec_id, cid,
-           |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY cast(($dot) AS double)/sqrt(cast(($cnorm) AS double)) DESC, cid) AS cr
-           |  FROM sk k CROSS JOIN cent c)""".stripMargin,
-        """cand AS (
-          |  SELECT DISTINCT q.vec_id AS q_id, cc.vec_id AS c_id
-          |  FROM asn q JOIN asn cc ON cc.cid = q.cid AND cc.cr = 1 AND cc.vec_id <> q.vec_id
-          |  WHERE q.vec_id < 10 AND q.cr <= 32)""".stripMargin)(RerankSql)
-    },
+    "a03_ann_ivf" -> withCtes(EmbCte +: SkCte +: A03AsnCtes :+
+      """cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, cc.vec_id AS c_id
+        |  FROM asn q JOIN asn cc ON cc.cid = q.cid AND cc.cr = 1 AND cc.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10 AND q.cr <= 32)""".stripMargin: _*)(RerankSql),
+
+    // i11 twin: the shared assignment CTEs at cr = 1, per-cell rollup +
+    // broadcast-scalar imbalance factor (max/mean over non-empty cells)
+    "i11_ivf_balance" -> withCtes(EmbCte +: SkCte +: A03AsnCtes :+
+      """per AS (SELECT cid, cast(count(*) AS bigint) AS n
+        |  FROM asn WHERE cr = 1 GROUP BY 1)""".stripMargin :+
+      """tot AS (SELECT cast(sum(n) AS bigint) AS tot,
+        |  cast(count(*) AS bigint) AS n_cells,
+        |  cast(max(n) AS bigint) AS max_n FROM per)""".stripMargin: _*)(
+      """SELECT cid, n, (n * 1000000) // tot AS share_ppm,
+        |  (max_n * n_cells * 1000000) // tot AS imbalance_e6, n_cells
+        |FROM per CROSS JOIN tot""".stripMargin),
 
     "s01_salted_enrich" -> withCtes(ToksCte, DimCte)(
       """SELECT t.doc_id, t.source, d.vendor, d.log_type, d.version

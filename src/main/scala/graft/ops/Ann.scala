@@ -472,8 +472,12 @@ object Ann {
     * assignment, stride-sampled centroids — see [[ivfTopK]]'s scaladoc for
     * the shuffle-key and exactness analysis).
     */
-  private def ivfPairs(emb: DataFrame, queryFilter: Column,
-                       nCells: Int, nProbe: Int, kProj: Int): DataFrame = {
+  /** The IVF coarse assignment ranks shared by [[ivfTopK]]/[[ivfPqTopK]]
+    * (via ivfPairs) and the i11 cell-balance report: per vector, centroids
+    * ranked by sketch-space cosine, cut at nProbe.
+    */
+  private def cellRanked(emb: DataFrame, nCells: Int, nProbe: Int,
+                         kProj: Int): DataFrame = {
     val sk = sketches(emb, kProj).localCheckpoint(true)
     val cents = sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
@@ -490,8 +494,21 @@ object Ann {
     // materialize the assignment once: both consumers (corpus best-cell and
     // query probe list) are subsets of cr <= nProbe, and recomputing `dots`
     // (the N×nCells assignment pass) twice would double the dominant cost
-    val ranked = dots.withColumn("cr", row_number().over(wC))
+    dots.withColumn("cr", row_number().over(wC))
       .where(col("cr") <= math.max(1, nProbe)).localCheckpoint(true)
+  }
+
+  /** Corpus cell assignment (nearest coarse centroid per vector) — the
+    * index-build artifact the i11 balance report audits.
+    */
+  def ivfAssignment(emb: DataFrame, nCells: Int = 256,
+                    kProj: Int = 32): DataFrame =
+    cellRanked(emb, nCells, nProbe = 1, kProj)
+      .where(col("cr") === 1).select("vec_id", "cid")
+
+  private def ivfPairs(emb: DataFrame, queryFilter: Column,
+                       nCells: Int, nProbe: Int, kProj: Int): DataFrame = {
+    val ranked = cellRanked(emb, nCells, nProbe, kProj)
     val corpusCell = ranked.where(col("cr") === 1).select(col("vec_id").as("c_id"), col("cid"))
     val qIds = emb.where(queryFilter).select(col("vec_id").as("q_id"))
     val queryCells = ranked.join(qIds, ranked("vec_id") === qIds("q_id"))

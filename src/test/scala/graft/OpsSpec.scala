@@ -265,6 +265,14 @@ class OpsSpec extends SparkSpec {
       10L -> p(1), 13L -> p(3)))
   }
 
+  test("ivfAssignment is a total partition: one cell per vector, counts conserve") {
+    val e = Tables.embeddings(spark, Sf)
+    val asn = Ann.ivfAssignment(e)
+    val n = e.count()
+    assert(asn.count() === n)
+    assert(asn.select("vec_id").distinct().count() === n)
+  }
+
   test("retrieve-then-rerank: output within the lexical candidate set, ordered by cosine") {
     val out = SparkEntry.queries("i10_retrieve_rerank")(spark, Sf)
       .orderBy("rank").collect()

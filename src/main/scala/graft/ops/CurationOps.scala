@@ -192,6 +192,92 @@ object CurationOps {
         expr("(samp_tok div tok) * 1000000 + (samp_tok % tok) * 1000000 div tok").as("epochs_e6"))
   }
 
+  /** Iterative BPE merge TRAINING (Sennrich et al. 2016 §3.2) — the real
+    * tokenizer-training loop, not just the k07 one-shot pair count: per
+    * round, count adjacent symbol pairs over the word vocabulary (weighted
+    * by word frequency), MERGE the most frequent pair corpus-wide into a
+    * new symbol, and recount — each round's top pairs are the trained
+    * merge table a tokenizer ships.
+    *
+    * The subtle step is applying a merge left-to-right without overlaps
+    * ("aaaa" + merge (a,a) → "aa","aa", not three overlapping merges).
+    * Overlapping matches only occur when left == right, where the match
+    * positions form RUNS — so the greedy rule is exactly gaps-and-islands
+    * (the d14 interval machinery): group consecutive match positions,
+    * merge the 1st, 3rd, … of each island, drop their tails, re-rank
+    * positions. Fully relational, so the DuckDB twin replays the identical
+    * recursion and the trained merge table is oracle-checked bit-for-bit.
+    *
+    * Shape at scale: the state is the (word, pos, symbol) frame over the
+    * DISTINCT vocabulary — bounded by vocabulary size × word length, not
+    * corpus size (the corpus is folded into per-word frequencies once).
+    * Per round: one lead-window pass (per-word bounded), one
+    * map-side-combined pair count, a TakeOrdered top-1 broadcast back, and
+    * per-word bounded island windows; the state frame re-materializes each
+    * round (localCheckpoint — the k-means/d09 iterative-loop rule).
+    *
+    * `maxWordLen` is the trainer's pre-tokenization guard (SentencePiece's
+    * max_sentencepiece_length, GPT-2's regex splits): an unsegmented blob —
+    * a URL, base64 run, or a corpus where the delimiter rarely appears —
+    * must not widen the per-word state; overlong "words" are excluded from
+    * merge statistics, exactly as the published trainers do. Without it a
+    * single 577-char pseudo-word (measured in the 10× gate corpus, whose
+    * rotation maps spaces away) multiplies the symbol frame by two orders
+    * of magnitude.
+    *
+    * Output: (round, rank, lhs, rhs, freq) — the top `topM` pairs of each
+    * round, of which rank 1 is the merge that round applied.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int, topM: Int,
+               maxWordLen: Int = 32): DataFrame = {
+    val words = docs
+      .select(explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
+      .where(length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    var rows = words.select(col("w"), col("wf"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as(Seq("p0", "sym")))
+      .select(col("w"), col("wf"), (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint(true)
+    val perRound = (1 to rounds).map { r =>
+      val wW = Window.partitionBy("w").orderBy("pos")
+      val withNext = rows.withColumn("nxt", lead(col("sym"), 1).over(wW))
+      val pairs = withNext.where(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("wf")).as("freq"))
+      val top = pairs.orderBy(col("freq").desc, col("sym"), col("nxt")).limit(topM)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("sym"), col("nxt"))))
+        .localCheckpoint(true) // feeds the output AND the round's merge
+      val t1 = top.where(col("rank") === 1)
+        .select(col("sym").as("ml"), col("nxt").as("mr"))
+      val marked = withNext.crossJoin(broadcast(t1))
+        .withColumn("m", col("nxt").isNotNull &&
+          col("sym") === col("ml") && col("nxt") === col("mr"))
+        .localCheckpoint(true) // feeds the island pass AND the rebuild
+      val heads = marked.where(col("m"))
+        .withColumn("grp", col("pos") - row_number().over(wW))
+        .withColumn("ii", row_number().over(
+          Window.partitionBy(col("w"), col("grp")).orderBy(col("pos"))))
+        .where(col("ii") % 2 === 1)
+        .select(col("w").as("hw"), col("pos").as("hpos"))
+      rows = marked
+        .join(heads.select(col("hw"), col("hpos"), lit(1).as("is_head")),
+          col("w") === col("hw") && col("pos") === col("hpos"), "left")
+        .drop("hw", "hpos")
+        .join(heads.select(col("hw"), col("hpos"), lit(1).as("is_tail")),
+          col("w") === col("hw") && col("pos") === col("hpos") + 1, "left")
+        .where(col("is_tail").isNull)
+        .select(col("w"), col("wf"), col("pos"),
+          when(col("is_head") === 1, concat(col("ml"), col("mr")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos", row_number().over(wW).cast("long"))
+        .localCheckpoint(true)
+      top.select(lit(r).as("round"), col("rank"),
+        col("sym").as("lhs"), col("nxt").as("rhs"), col("freq"))
+    }
+    perRound.reduce(_.union(_))
+  }
+
   /** Data-constrained epoch schedule (Muennighoff et al. 2023, "Scaling
     * Data-Constrained Language Models"): given a token budget of
     * `budgetX` corpus-worths, allocate it across sources by the k12

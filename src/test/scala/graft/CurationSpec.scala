@@ -28,6 +28,38 @@ class CurationSpec extends SparkSpec {
     assert(r(2L)._1 < 200000L && r(2L)._2 === 0L)
   }
 
+  test("bpeTrain == sequential BPE reference, incl. greedy left-to-right on 'aaaa'") {
+    val docs = Seq((1L, "aaaa abab abab banana"),
+      (2L, "aaaa aaaa banana bananas")).toDF("doc_id", "text")
+    // sequential reference: Sennrich et al. algorithm 1 over (word, freq)
+    var words: Map[Vector[String], Long] =
+      Seq("aaaa" -> 3L, "abab" -> 2L, "banana" -> 2L, "bananas" -> 1L)
+        .map { case (w, f) => w.map(_.toString).toVector -> f }.toMap
+    val refMerges = (1 to 3).map { _ =>
+      val pairs = words.toSeq.flatMap { case (s, f) =>
+        s.zip(s.tail).map(p => p -> f)
+      }.groupBy(_._1).map { case (p, xs) => (p._1, p._2, xs.map(_._2).sum) }
+      val best = pairs.minBy { case (l, r, f) => (-f, l, r) }
+      def applyMerge(s: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == best._1 && s(i + 1) == best._2) {
+            out += s(i) + s(i + 1); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      words = words.toSeq.map { case (s, f) => applyMerge(s) -> f }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      best
+    }
+    val got = CurationOps.bpeTrain(docs, rounds = 3, topM = 2)
+      .where(col("rank") === 1).orderBy("round")
+      .select("lhs", "rhs", "freq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === refMerges, s"merge table diverged: got=$got ref=$refMerges")
+  }
+
   test("epochSchedule: hand-computed cap/split on a skewed two-source corpus") {
     // tok: small=100 (w=10), big=10000 (w=100); B=3*10100=30300, sum_w=110
     // small alloc_raw = floor(30300*10/110)=2754 > 3*100  -> capped at 300

@@ -685,6 +685,12 @@ object QueriesOps {
       graft.ops.CurationOps.temperatureMix(
         Tables.tokens(s, dir).select(col("source"), col("n_tok")))),
 
+    // fixed-size overlapping chunking (the RAG-ingestion splitter):
+    // 200-char chunks at stride 150 (50-char overlap), md5 per chunk so
+    // reconstruction is oracle-checked without shipping chunk bodies
+    "t16_chunks" -> ((s, dir) =>
+      graft.ops.CurationOps.chunkDocs(docs(s, dir), size = 200, stride = 150)),
+
     // iterative BPE merge training (Sennrich et al. 2016): 3 merge rounds
     // over the word vocabulary, greedy non-overlap application via
     // gaps-and-islands; emits each round's top-5 pair table (rank 1 = the
@@ -1744,6 +1750,18 @@ object QueriesOps {
       """SELECT source, n_docs, tok, weight_ppm, samp_tok,
         |  (samp_tok // tok) * 1000000 + ((samp_tok % tok) * 1000000) // tok AS epochs_e6
         |FROM m""".stripMargin),
+
+    // t16 twin: identical start/size arithmetic, md5 parity (the d17
+    // contract), empty docs yield no chunks
+    "t16_chunks" ->
+      """SELECT did, chunk_idx, chunk_idx * 150 + 1 AS start,
+        |  cast(length(chunk) AS bigint) AS clen, md5(chunk) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id AS did, cast(i AS bigint) AS chunk_idx,
+        |    substr(text, cast(i * 150 + 1 AS int), 200) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(0, (length(text) + 149) // 150)) AS i
+        |        FROM documents WHERE length(text) > 0))""".stripMargin,
 
     // k17 twin: the 3-round BPE recursion unrolled — per round a pair
     // count (self-join on pos+1 ≡ the Spark lead over dense positions), a

@@ -192,6 +192,34 @@ object CurationOps {
         expr("(samp_tok div tok) * 1000000 + (samp_tok % tok) * 1000000 div tok").as("epochs_e6"))
   }
 
+  /** Fixed-size overlapping document chunking — the retrieval-ingestion
+    * splitter (chunk size / stride in characters, the LangChain-style
+    * "RecursiveCharacterTextSplitter" reduced to its deterministic core):
+    * chunk i covers [1 + i·stride, 1 + i·stride + size), the final chunk
+    * runs short, and overlap = size − stride gives retrieval context
+    * continuity across boundaries. Emits the chunk md5 (not the text) so
+    * the full reconstruction is oracle-checked without shipping every
+    * chunk body through the compare — a reassembly bug cannot hide in
+    * counts (the d17 residual-md5 idea).
+    *
+    * Shape at scale: one codegen sequence-explode per doc, chunk count
+    * bounded by the doc's own length; no shuffle at all until a consumer
+    * aggregates.
+    */
+  def chunkDocs(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val n = expr(s"(length(text) + ${stride - 1}) div $stride")
+    docs.select(col("doc_id").as("did"), col("text"),
+        explode(when(length(col("text")) > 0, sequence(lit(0L), n - 1))
+          .otherwise(array())).as("chunk_idx"))
+      .select(col("did"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("start"),
+        expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk"))
+      .select(col("did"), col("chunk_idx"), col("start"),
+        length(col("chunk")).cast("long").as("clen"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
   /** Iterative BPE merge TRAINING (Sennrich et al. 2016 §3.2) — the real
     * tokenizer-training loop, not just the k07 one-shot pair count: per
     * round, count adjacent symbol pairs over the word vocabulary (weighted

@@ -28,6 +28,26 @@ class CurationSpec extends SparkSpec {
     assert(r(2L)._1 < 200000L && r(2L)._2 === 0L)
   }
 
+  test("chunkDocs: counts, boundaries, and overlap reconstruct the document") {
+    val text = (1 to 37).map(i => ('a' + i % 26).toChar).mkString * 10 // 370 chars
+    val docs = Seq((1L, text), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val out = CurationOps.chunkDocs(docs, size = 200, stride = 150)
+      .orderBy("did", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // doc 3 (empty) yields nothing; doc 2 one short chunk; doc 1 ceil(370/150)=3
+    assert(out.count(_._1 == 3L) === 0)
+    assert(out.filter(_._1 == 2L).map(x => (x._3, x._4)).toSeq === Seq((1L, 5L)))
+    val c1 = out.filter(_._1 == 1L)
+    assert(c1.map(_._3).toSeq === Seq(1L, 151L, 301L))
+    assert(c1.map(_._4).toSeq === Seq(200L, 200L, 70L)) // tail runs short
+    // md5 parity with direct substring chunks (overlap + reconstruction)
+    val expect = Seq(text.substring(0, 200), text.substring(150, 350), text.substring(300))
+    c1.map(_._5).toSeq.zip(expect).foreach { case (got, e) =>
+      assert(got === java.security.MessageDigest.getInstance("MD5")
+        .digest(e.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+  }
+
   test("bpeTrain == sequential BPE reference, incl. greedy left-to-right on 'aaaa'") {
     val docs = Seq((1L, "aaaa abab abab banana"),
       (2L, "aaaa aaaa banana bananas")).toDF("doc_id", "text")

@@ -698,6 +698,11 @@ object QueriesOps {
     "k17_bpe_train" -> ((s, dir) =>
       graft.ops.CurationOps.bpeTrain(docs(s, dir), rounds = 3, topM = 5)),
 
+    // the ENCODE side of k17: each in-vocabulary word's segmentation
+    // after the 3 trained merges (space-joined symbols, symbol count)
+    "k18_bpe_segments" -> ((s, dir) =>
+      graft.ops.CurationOps.bpeSegments(docs(s, dir), rounds = 3)),
+
     // data-constrained epoch schedule (Muennighoff et al. 2023): a
     // 3-corpus-worth budget split by the k12 sqrt weights, each source
     // capped at 3 passes over its unique tokens; unique/repeated split
@@ -934,6 +939,50 @@ object QueriesOps {
          |    row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cast(($dot) AS double)/sqrt(cast(($cnorm) AS double)) DESC, cid) AS cr
          |  FROM sk k CROSS JOIN cent c)""".stripMargin)
+  }
+
+  /** The k17/k18 BPE recursion CTE chain: capped word vocabulary, initial
+    * character symbol frame, then per round the pair count, top-5 output,
+    * LIMIT-1 merge pick, gaps-and-islands head selection, and the rebuilt
+    * symbol frame (s4 = final after 3 merges).
+    */
+  private val BpeCtes: Seq[String] = {
+    val base = Seq(
+      """w0 AS (SELECT w, cast(count(*) AS bigint) AS wf FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+        |  FROM documents) WHERE length(w) <= 32 GROUP BY 1)""".stripMargin,
+      """s1 AS (SELECT w, wf, cast(pos AS bigint) AS pos,
+        |    substr(w, cast(pos AS int), 1) AS sym
+        |  FROM (SELECT w, wf, unnest(range(1, length(w)+1)) AS pos FROM w0))""".stripMargin)
+    val per = (1 to 3).flatMap { r => Seq(
+      s"""p$r AS (SELECT a.sym, b.sym AS nxt, cast(sum(a.wf) AS bigint) AS freq
+         |  FROM s$r a JOIN s$r b ON b.w = a.w AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2)""".stripMargin,
+      s"""o$r AS (SELECT $r AS round, rank, sym AS lhs, nxt AS rhs, freq FROM (
+         |  SELECT sym, nxt, freq,
+         |    cast(row_number() OVER (ORDER BY freq DESC, sym, nxt) AS int) AS rank
+         |  FROM p$r) WHERE rank <= 5)""".stripMargin,
+      s"t$r AS (SELECT sym AS ml, nxt AS mr FROM p$r ORDER BY freq DESC, sym, nxt LIMIT 1)",
+      s"""mk$r AS (SELECT s.w, s.wf, s.pos, s.sym, t.ml, t.mr,
+         |    (nx.sym IS NOT NULL AND s.sym = t.ml AND nx.sym = t.mr) AS m
+         |  FROM s$r s CROSS JOIN t$r t
+         |  LEFT JOIN s$r nx ON nx.w = s.w AND nx.pos = s.pos + 1)""".stripMargin,
+      s"""hd$r AS (SELECT w, pos FROM (
+         |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS ii
+         |    FROM (SELECT w, pos,
+         |        pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+         |      FROM mk$r WHERE m)) WHERE ii % 2 = 1)""".stripMargin,
+      s"""s${r + 1} AS (SELECT w, wf,
+         |    cast(row_number() OVER (PARTITION BY w ORDER BY pos) AS bigint) AS pos, sym
+         |  FROM (
+         |    SELECT k.w, k.wf, k.pos,
+         |      CASE WHEN h.pos IS NOT NULL THEN k.ml || k.mr ELSE k.sym END AS sym
+         |    FROM mk$r k
+         |    LEFT JOIN hd$r h ON h.w = k.w AND h.pos = k.pos
+         |    LEFT JOIN hd$r ht ON ht.w = k.w AND ht.pos = k.pos - 1
+         |    WHERE ht.pos IS NULL))""".stripMargin)
+    }
+    base ++ per
   }
 
   val oracles: Map[String, String] = Map(
@@ -1767,45 +1816,15 @@ object QueriesOps {
     // count (self-join on pos+1 ≡ the Spark lead over dense positions), a
     // LIMIT-1 merge pick, the gaps-and-islands head selection, and the
     // rebuilt symbol frame with tails dropped and positions re-ranked
-    "k17_bpe_train" -> {
-      val base = Seq(
-        """w0 AS (SELECT w, cast(count(*) AS bigint) AS wf FROM (
-          |  SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
-          |  FROM documents) WHERE length(w) <= 32 GROUP BY 1)""".stripMargin,
-        """s1 AS (SELECT w, wf, cast(pos AS bigint) AS pos,
-          |    substr(w, cast(pos AS int), 1) AS sym
-          |  FROM (SELECT w, wf, unnest(range(1, length(w)+1)) AS pos FROM w0))""".stripMargin)
-      val per = (1 to 3).flatMap { r => Seq(
-        s"""p$r AS (SELECT a.sym, b.sym AS nxt, cast(sum(a.wf) AS bigint) AS freq
-           |  FROM s$r a JOIN s$r b ON b.w = a.w AND b.pos = a.pos + 1
-           |  GROUP BY 1, 2)""".stripMargin,
-        s"""o$r AS (SELECT $r AS round, rank, sym AS lhs, nxt AS rhs, freq FROM (
-           |  SELECT sym, nxt, freq,
-           |    cast(row_number() OVER (ORDER BY freq DESC, sym, nxt) AS int) AS rank
-           |  FROM p$r) WHERE rank <= 5)""".stripMargin,
-        s"t$r AS (SELECT sym AS ml, nxt AS mr FROM p$r ORDER BY freq DESC, sym, nxt LIMIT 1)",
-        s"""mk$r AS (SELECT s.w, s.wf, s.pos, s.sym, t.ml, t.mr,
-           |    (nx.sym IS NOT NULL AND s.sym = t.ml AND nx.sym = t.mr) AS m
-           |  FROM s$r s CROSS JOIN t$r t
-           |  LEFT JOIN s$r nx ON nx.w = s.w AND nx.pos = s.pos + 1)""".stripMargin,
-        s"""hd$r AS (SELECT w, pos FROM (
-           |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS ii
-           |    FROM (SELECT w, pos,
-           |        pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
-           |      FROM mk$r WHERE m)) WHERE ii % 2 = 1)""".stripMargin,
-        s"""s${r + 1} AS (SELECT w, wf,
-           |    cast(row_number() OVER (PARTITION BY w ORDER BY pos) AS bigint) AS pos, sym
-           |  FROM (
-           |    SELECT k.w, k.wf, k.pos,
-           |      CASE WHEN h.pos IS NOT NULL THEN k.ml || k.mr ELSE k.sym END AS sym
-           |    FROM mk$r k
-           |    LEFT JOIN hd$r h ON h.w = k.w AND h.pos = k.pos
-           |    LEFT JOIN hd$r ht ON ht.w = k.w AND ht.pos = k.pos - 1
-           |    WHERE ht.pos IS NULL))""".stripMargin)
-      }
-      withCtes(base ++ per: _*)(
-        "SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3")
-    },
+    "k17_bpe_train" -> withCtes(BpeCtes: _*)(
+      "SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3"),
+
+    // k18 twin: the same recursion's FINAL symbol frame (s4), ordered
+    // string_agg per word
+    "k18_bpe_segments" -> withCtes(BpeCtes: _*)(
+      """SELECT w, wf, cast(count(*) AS bigint) AS n_sym,
+        |  string_agg(sym, ' ' ORDER BY pos) AS seg
+        |FROM s4 GROUP BY w, wf""".stripMargin),
 
     // k16 twin: k12's per/w/tot CTEs, a 3x budget through the same
     // overflow-safe floor identity, least() cap at 3 epochs

@@ -257,7 +257,27 @@ object CurationOps {
     * round, of which rank 1 is the merge that round applied.
     */
   def bpeTrain(docs: DataFrame, rounds: Int, topM: Int,
-               maxWordLen: Int = 32): DataFrame = {
+               maxWordLen: Int = 32): DataFrame =
+    bpeLoop(docs, rounds, topM, maxWordLen)._1.reduce(_.union(_))
+
+  /** Vocabulary segmentation after `rounds` trained merges — the ENCODE
+    * side of [[bpeTrain]]: each in-vocabulary word's final symbol
+    * sequence (space-joined), symbol count, and corpus frequency. This is
+    * the artifact a tokenizer's encode path looks up; n_sym vs
+    * length(w) is the compression the trained merges bought. Same loop,
+    * same state bounds as the trainer.
+    */
+  def bpeSegments(docs: DataFrame, rounds: Int,
+                  maxWordLen: Int = 32): DataFrame =
+    bpeLoop(docs, rounds, topM = 1, maxWordLen)._2
+      .groupBy("w", "wf")
+      .agg(count(lit(1)).as("n_sym"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, sym))), x -> x.sym)"),
+          " ").as("seg"))
+
+  private def bpeLoop(docs: DataFrame, rounds: Int, topM: Int,
+                      maxWordLen: Int): (Seq[DataFrame], DataFrame) = {
     val words = docs
       .select(explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
       .where(length(col("w")) <= maxWordLen)
@@ -303,7 +323,7 @@ object CurationOps {
       top.select(lit(r).as("round"), col("rank"),
         col("sym").as("lhs"), col("nxt").as("rhs"), col("freq"))
     }
-    perRound.reduce(_.union(_))
+    (perRound, rows)
   }
 
   /** Data-constrained epoch schedule (Muennighoff et al. 2023, "Scaling

@@ -78,6 +78,11 @@ class CurationSpec extends SparkSpec {
       .select("lhs", "rhs", "freq").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got === refMerges, s"merge table diverged: got=$got ref=$refMerges")
+    // encode side: final segmentation equals the reference's end state
+    val segs = CurationOps.bpeSegments(docs, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(segs.keySet === words.keySet.map(_.mkString))
+    words.keys.foreach(s => assert(segs(s.mkString) === s.mkString(" ")))
   }
 
   test("epochSchedule: hand-computed cap/split on a skewed two-source corpus") {

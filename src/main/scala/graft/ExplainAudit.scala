@@ -25,7 +25,7 @@ object ExplainAudit {
         "d19_clusters_verbatim", "p33_netflow_v9_compat", "k15_dsir",
         "d20_soft_dedup", "t15_ppl_buckets", "i07_mmr", "i08_rrf",
         "d21_contam_rate", "d22_allpairs", "s05_kmv_distinct", "i09_ann_recall",
-        "i10_retrieve_rerank", "k16_epoch_schedule", "i11_ivf_balance", "k17_bpe_train", "t16_chunks", "k18_bpe_segments")
+        "i10_retrieve_rerank", "k16_epoch_schedule", "i11_ivf_balance", "k17_bpe_train", "t16_chunks", "k18_bpe_segments", "i12_cluster_quality")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

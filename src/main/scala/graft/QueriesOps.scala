@@ -723,6 +723,12 @@ object QueriesOps {
     "d11_semdedup" -> ((s, dir) =>
       DedupOps.semDedup(emb(s, dir), k = 16, iters = 2, minCos = 0.25)),
 
+    // k-means cluster-quality audit (the i03 sibling of i11's IVF
+    // balance): per cluster n, cohesion (mean member->centroid cosine),
+    // separation (nearest-other-centroid cosine) — k rows at any scale
+    "i12_cluster_quality" -> ((s, dir) =>
+      Ann.kmeansQuality(emb(s, dir), k = 16, iters = 2)),
+
     // substring-level dedup signal: 24-char windows repeated across >= 3 docs
     "d12_repeat_substr" -> ((s, dir) =>
       // 24 substr reads per position: must not run in one input split
@@ -2047,6 +2053,30 @@ object QueriesOps {
     // exact int64 sums, scores as the identical left-assoc double chains
     "i03_kmeans" -> withCtes(kmeansCtes: _*)(
       "SELECT vec_id, cid AS cluster FROM asn3"),
+
+    // i12 twin: the shared kmeans CTEs' final assignment (asn3) and
+    // centroids (cent2); full cosine (both norms), per-member e6 floor,
+    // sign-safe floor mean, k×k centroid self-join for separation
+    "i12_cluster_quality" -> {
+      val dotF = (0 until 32).map(t => s"cast(k.s$t AS double)*c.c$t").mkString(" + ")
+      val knorm = (0 until 32).map(t => s"cast(k.s$t AS double)*k.s$t").mkString(" + ")
+      val cnorm = (0 until 32).map(t => s"cast(c.c$t AS double)*c.c$t").mkString(" + ")
+      val dotCC = (0 until 32).map(t => s"cast(a.c$t AS double)*b.c$t").mkString(" + ")
+      val anorm = (0 until 32).map(t => s"cast(a.c$t AS double)*a.c$t").mkString(" + ")
+      val bnorm = (0 until 32).map(t => s"cast(b.c$t AS double)*b.c$t").mkString(" + ")
+      withCtes(kmeansCtes :+
+        s"""memq AS (SELECT x.cid,
+           |    cast(floor(($dotF) / (sqrt($knorm) * sqrt($cnorm)) * 1000000) AS bigint) AS ce6
+           |  FROM asn3 x JOIN sk k ON k.vec_id = x.vec_id JOIN cent2 c ON c.cid = x.cid)""".stripMargin :+
+        """perq AS (SELECT cid AS cluster, cast(count(*) AS bigint) AS n,
+          |    cast(sum(ce6) AS bigint) AS se FROM memq GROUP BY 1)""".stripMargin :+
+        s"""nnq AS (SELECT a.cid,
+           |    max(cast(floor(($dotCC) / (sqrt($anorm) * sqrt($bnorm)) * 1000000) AS bigint)) AS nn_cent_cos_e6
+           |  FROM cent2 a JOIN cent2 b ON b.cid <> a.cid GROUP BY 1)""".stripMargin: _*)(
+        """SELECT cluster, n, (se + n * 1000000) // n - 1000000 AS mean_cos_e6,
+          |  nn_cent_cos_e6
+          |FROM perq JOIN nnq ON nnq.cid = perq.cluster""".stripMargin)
+    },
 
     // SemDeDup stage 2: min-id representative per k-means cluster, exact
     // cosine of each member to its representative, prune at >= 0.25

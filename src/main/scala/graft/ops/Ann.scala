@@ -440,40 +440,85 @@ object Ann {
     * sum aggregate — no driver-side state; empty clusters drop from the
     * centroid table identically in both engines.
     */
-  def kmeansSketch(emb: DataFrame, k: Int = 16, iters: Int = 2, kProj: Int = 32): DataFrame = {
-    val sk = sketches(emb, kProj).localCheckpoint(true)
-    def assign(cents: DataFrame): DataFrame = {
-      val dotChain = (0 until kProj).map(t => col(s"s$t").cast("double") * col(s"c$t")).reduce(_ + _)
-      val cnormChain = (0 until kProj).map(t => col(s"c$t").cast("double") * col(s"c$t")).reduce(_ + _)
-      val wv = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
-      sk.crossJoin(broadcast(cents))
-        .withColumn("score", dotChain / sqrt(cnormChain))
-        .withColumn("r", row_number().over(wv)).where(col("r") === 1)
-        .select("vec_id", "cid")
-    }
+  private def kmAssign(sk: DataFrame, cents: DataFrame, kProj: Int): DataFrame = {
+    val dotChain = (0 until kProj).map(t => col(s"s$t").cast("double") * col(s"c$t")).reduce(_ + _)
+    val cnormChain = (0 until kProj).map(t => col(s"c$t").cast("double") * col(s"c$t")).reduce(_ + _)
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+    sk.crossJoin(broadcast(cents))
+      .withColumn("score", dotChain / sqrt(cnormChain))
+      .withColumn("r", row_number().over(wv)).where(col("r") === 1)
+      .select("vec_id", "cid")
+  }
+
+  /** The trained sum-centroids after `iters` Lloyd rounds — shared by
+    * [[kmeansSketch]] and the i12 quality report.
+    */
+  private def kmCents(sk: DataFrame, k: Int, iters: Int, kProj: Int): DataFrame = {
     var cents = sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
     for (_ <- 1 to iters) {
       val sums = (0 until kProj).map(t => sum(col(s"s$t")).as(s"c$t"))
-      cents = assign(cents).join(sk, "vec_id")
+      cents = kmAssign(sk, cents, kProj).join(sk, "vec_id")
         .groupBy("cid").agg(sums.head, sums.tail: _*)
         .localCheckpoint(true) // ≤ k rows; truncates the per-iteration lineage
     }
-    assign(cents).select(col("vec_id"), col("cid").as("cluster"))
+    cents
+  }
+
+  def kmeansSketch(emb: DataFrame, k: Int = 16, iters: Int = 2, kProj: Int = 32): DataFrame = {
+    val sk = sketches(emb, kProj).localCheckpoint(true)
+    kmAssign(sk, kmCents(sk, k, iters, kProj), kProj)
+      .select(col("vec_id"), col("cid").as("cluster"))
+  }
+
+  /** Cluster-quality audit of the [[kmeansSketch]] partition — the report
+    * a pipeline reads before trusting a semantic-dedup or IVF index built
+    * on these clusters (the k-means sibling of the i11 cell-balance
+    * report): per cluster, member count, COHESION = mean member→centroid
+    * cosine, and SEPARATION = the centroid's nearest-other-centroid
+    * cosine (a Davies-Bouldin-flavored pair; cohesion high + separation
+    * low = a well-separated cluster). Cosines against the SUM centroid
+    * equal cosines against the mean (scale cancels); per-member values
+    * floor to e6 microunits before the order-independent integer mean —
+    * the sign-safe floor-mean identity (se + n·1e6) div n − 1e6 keeps
+    * both engines exact for any sign.
+    *
+    * Shape at scale: one assignment pass (broadcast ≤k centroids), one
+    * map-side-combined rollup, and a ≤k×k centroid self-join — output k
+    * rows at any corpus size.
+    */
+  def kmeansQuality(emb: DataFrame, k: Int = 16, iters: Int = 2,
+                    kProj: Int = 32): DataFrame = {
+    val sk = sketches(emb, kProj).localCheckpoint(true)
+    val cents = kmCents(sk, k, iters, kProj).localCheckpoint(true)
+    val asn = kmAssign(sk, cents, kProj)
+    val dotF = (0 until kProj).map(t => col(s"s$t").cast("double") * col(s"c$t")).reduce(_ + _)
+    val knorm = (0 until kProj).map(t => col(s"s$t").cast("double") * col(s"s$t")).reduce(_ + _)
+    val cnorm = (0 until kProj).map(t => col(s"c$t").cast("double") * col(s"c$t")).reduce(_ + _)
+    val per = asn.join(sk, "vec_id").join(broadcast(cents), "cid")
+      .withColumn("ce6", floor(dotF / (sqrt(knorm) * sqrt(cnorm)) * 1e6).cast("long"))
+      .groupBy("cid").agg(count(lit(1)).as("n"), sum(col("ce6")).as("se"))
+      .select(col("cid").as("cluster"), col("n"),
+        expr("(se + n * 1000000) div n - 1000000").as("mean_cos_e6"))
+    val c2 = cents.select(col("cid").as("cid2") +:
+      (0 until kProj).map(t => col(s"c$t").as(s"d$t")): _*)
+    val dotCC = (0 until kProj).map(t => col(s"c$t").cast("double") * col(s"d$t")).reduce(_ + _)
+    val n2 = (0 until kProj).map(t => col(s"d$t").cast("double") * col(s"d$t")).reduce(_ + _)
+    val nn = cents.crossJoin(broadcast(c2)).where(col("cid") =!= col("cid2"))
+      .withColumn("ce6", floor(dotCC / (sqrt(cnorm) * sqrt(n2)) * 1e6).cast("long"))
+      .groupBy("cid").agg(max(col("ce6")).as("nn_cent_cos_e6"))
+    per.join(nn, per("cluster") === nn("cid")).drop("cid")
   }
 
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
               nCells: Int = 256, nProbe: Int = 32, kProj: Int = 32): DataFrame =
     rerankExact(emb, ivfPairs(emb, queryFilter, nCells, nProbe, kProj), k)
 
-  /** The IVF coarse stage shared by [[ivfTopK]] and [[ivfPqTopK]]: the
-    * distinct (q_id, c_id) candidate pairs where the corpus vector's best
-    * cell is among the query's nProbe probed cells (sketch-space
-    * assignment, stride-sampled centroids — see [[ivfTopK]]'s scaladoc for
-    * the shuffle-key and exactness analysis).
-    */
   /** The IVF coarse assignment ranks shared by [[ivfTopK]]/[[ivfPqTopK]]
-    * (via ivfPairs) and the i11 cell-balance report: per vector, centroids
+    * (via ivfPairs — the distinct (q_id, c_id) candidate pairs where the
+    * corpus vector's best cell is among the query's nProbe probed cells;
+    * see [[ivfTopK]]'s scaladoc for the shuffle-key and exactness
+    * analysis) and the i11 cell-balance report: per vector, centroids
     * ranked by sketch-space cosine, cut at nProbe.
     */
   private def cellRanked(emb: DataFrame, nCells: Int, nProbe: Int,

@@ -265,6 +265,22 @@ class OpsSpec extends SparkSpec {
       10L -> p(1), 13L -> p(3)))
   }
 
+  test("kmeansQuality: counts conserve, cohesion beats separation on every cluster") {
+    val e = Tables.embeddings(spark, Sf)
+    val q = Ann.kmeansQuality(e, k = 16, iters = 2).collect()
+    assert(q.map(_.getLong(1)).sum === e.count())
+    // the partition is doing SOMETHING: members are closer to their own
+    // centroid than the centroids are to each other — in aggregate and
+    // for a strict majority of clusters (NOT all: on this isotropic
+    // corpus two seeded centroids can land nearly coincident, and the
+    // report exists precisely to surface that — one such cluster is
+    // observed at sf0.01, separation 0.51 vs cohesion 0.49)
+    val coh = q.map(_.getLong(2)); val sep = q.map(_.getLong(3))
+    assert(coh.sum > sep.sum, s"mean cohesion ${coh.sum} <= mean separation ${sep.sum}")
+    val wins = q.count(r => r.getLong(2) > r.getLong(3))
+    assert(wins * 2 > q.length, s"cohesion beat separation in only $wins/${q.length}")
+  }
+
   test("ivfAssignment is a total partition: one cell per vector, counts conserve") {
     val e = Tables.embeddings(spark, Sf)
     val asn = Ann.ivfAssignment(e)

@@ -443,11 +443,19 @@ object Ann {
   private def kmAssign(sk: DataFrame, cents: DataFrame, kProj: Int): DataFrame = {
     val dotChain = (0 until kProj).map(t => col(s"s$t").cast("double") * col(s"c$t")).reduce(_ + _)
     val cnormChain = (0 until kProj).map(t => col(s"c$t").cast("double") * col(s"c$t")).reduce(_ + _)
-    val wv = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+    // per-vector argmax as a map-side-combined AGGREGATE, not a window: the
+    // window form exchanged and sorted all k·N scored rows per assignment
+    // pass; max(struct(score, -cid)) picks the same (score desc, cid asc)
+    // winner — struct ordering compares score first, then -cid, so ties
+    // break to the SMALLEST cid exactly like the row_number orderBy — and
+    // the broadcast cross join preserves sk's partitioning, so the
+    // aggregate needs no exchange at all (guide §2.3/§2.4).
     sk.crossJoin(broadcast(cents))
-      .withColumn("score", dotChain / sqrt(cnormChain))
-      .withColumn("r", row_number().over(wv)).where(col("r") === 1)
-      .select("vec_id", "cid")
+      .select(col("vec_id"), col("cid"),
+        (dotChain / sqrt(cnormChain)).as("score"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("score"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"))
   }
 
   /** The trained sum-centroids after `iters` Lloyd rounds — shared by
@@ -521,43 +529,62 @@ object Ann {
     * analysis) and the i11 cell-balance report: per vector, centroids
     * ranked by sketch-space cosine, cut at nProbe.
     */
-  private def cellRanked(emb: DataFrame, nCells: Int, nProbe: Int,
-                         kProj: Int): DataFrame = {
+  /** The shared IVF coarse artifacts: the checkpointed sketch frame and the
+    * nCells stride-sampled sketch-space centroids.
+    */
+  private def ivfBase(emb: DataFrame, nCells: Int, kProj: Int): (DataFrame, DataFrame) = {
     val sk = sketches(emb, kProj).localCheckpoint(true)
     val cents = sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
-    // per (vector, centroid) int64 sketch dot; within a vector the rank by
-    // dot/sqrt(cnorm) equals the sketch-cosine order (the vector's own norm
-    // is a positive constant across its partition). |s_t| ≤ ~2e8 so the
-    // 32-term product sum stays well inside int64 — exact in both engines.
+    (sk, cents)
+  }
+
+  /** per (vector, centroid) int64 sketch dot; within a vector the rank by
+    * dot/sqrt(cnorm) equals the sketch-cosine order (the vector's own norm
+    * is a positive constant across its partition). |s_t| ≤ ~2e8 so the
+    * 32-term product sum stays well inside int64 — exact in both engines.
+    */
+  private def cellScores(sk: DataFrame, cents: DataFrame, kProj: Int): DataFrame = {
     val dotChain = (0 until kProj).map(t => col(s"s$t") * col(s"c$t")).reduce(_ + _)
     val cnormChain = (0 until kProj).map(t => col(s"c$t") * col(s"c$t")).reduce(_ + _)
-    val dots = sk.crossJoin(broadcast(cents))
+    sk.crossJoin(broadcast(cents))
       .withColumn("score", dotChain.cast("double") / sqrt(cnormChain.cast("double")))
       .select("vec_id", "cid", "score")
-    val wC = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
-    // materialize the assignment once: both consumers (corpus best-cell and
-    // query probe list) are subsets of cr <= nProbe, and recomputing `dots`
-    // (the N×nCells assignment pass) twice would double the dominant cost
-    dots.withColumn("cr", row_number().over(wC))
-      .where(col("cr") <= math.max(1, nProbe)).localCheckpoint(true)
   }
 
   /** Corpus cell assignment (nearest coarse centroid per vector) — the
-    * index-build artifact the i11 balance report audits.
+    * index-build artifact the i11 balance report audits. The per-vector
+    * argmax is a map-side-combined aggregate (same (score desc, cid)
+    * winner as the old rank-1 window via max(struct(score, -cid)) — see
+    * [[kmAssign]]); the N×nCells scored frame never exchanges or sorts.
     */
   def ivfAssignment(emb: DataFrame, nCells: Int = 256,
-                    kProj: Int = 32): DataFrame =
-    cellRanked(emb, nCells, nProbe = 1, kProj)
-      .where(col("cr") === 1).select("vec_id", "cid")
+                    kProj: Int = 32): DataFrame = {
+    val (sk, cents) = ivfBase(emb, nCells, kProj)
+    bestCellAgg(cellScores(sk, cents, kProj))
+  }
+
+  private def bestCellAgg(scores: DataFrame): DataFrame =
+    scores.groupBy("vec_id")
+      .agg(max(struct(col("score"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"))
 
   private def ivfPairs(emb: DataFrame, queryFilter: Column,
                        nCells: Int, nProbe: Int, kProj: Int): DataFrame = {
-    val ranked = cellRanked(emb, nCells, nProbe, kProj)
-    val corpusCell = ranked.where(col("cr") === 1).select(col("vec_id").as("c_id"), col("cid"))
+    val (sk, cents) = ivfBase(emb, nCells, kProj)
+    // corpus best cell: aggregate argmax over the checkpointed sk — one
+    // no-exchange pass (the window form sorted all N×nCells rows); the
+    // query probe list re-scores ONLY the query vectors (|Q|×nCells rows),
+    // so its bounded rank window costs nothing at any corpus size
+    val corpusCell = bestCellAgg(cellScores(sk, cents, kProj))
+      .select(col("vec_id").as("c_id"), col("cid"))
     val qIds = emb.where(queryFilter).select(col("vec_id").as("q_id"))
-    val queryCells = ranked.join(qIds, ranked("vec_id") === qIds("q_id"))
-      .where(col("cr") <= nProbe).select(col("q_id"), col("cid"))
+    val qSk = sk.join(qIds, sk("vec_id") === qIds("q_id")).drop("q_id")
+    val wC = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid"))
+    val queryCells = cellScores(qSk, cents, kProj)
+      .withColumn("cr", row_number().over(wC))
+      .where(col("cr") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cid"))
     queryCells.join(corpusCell, Seq("cid"))
       .where(col("c_id") =!= col("q_id"))
       .select("q_id", "c_id").distinct()

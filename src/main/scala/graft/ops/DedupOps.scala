@@ -458,6 +458,18 @@ object DedupOps {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("sid")).distinct()
       .withColumn("lbl", col("sid")).localCheckpoint(true)
+    // the per-round frames are label tables (≤ one row per endpoint) — far
+    // smaller than the corpus the session's coalescing floor is tuned for;
+    // with a lowered floor every one of the ~log(diameter)·4 loop jobs
+    // spawns multi-task stages whose scheduling overhead dwarfs the work.
+    // Scope the Spark-default 1 MB floor over the loop only (restored in
+    // the finally) — at cluster scale label frames clear 1 MB anyway, so
+    // this changes nothing there.
+    val spark = edges.sparkSession
+    val floorKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val floorBefore = spark.conf.getOption(floorKey)
+    spark.conf.set(floorKey, "1m")
+    try {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -488,6 +500,12 @@ object DedupOps {
     require(converged,
       s"duplicateClusters did not converge within $maxIters rounds")
     labels.select(col("sid"), col("lbl").as("cluster"))
+    } finally {
+      floorBefore match {
+        case Some(v) => spark.conf.set(floorKey, v)
+        case None => spark.conf.unset(floorKey)
+      }
+    }
   }
 
   /** Soft deduplication: instead of DROPPING near-duplicates, every

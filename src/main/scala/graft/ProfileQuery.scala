@@ -16,11 +16,15 @@ object ProfileQuery {
     val names = if (args.length > 1) args(1).split(",").toSeq else Seq("p14_pipeline")
     val repeats = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra conf via env, e.g. SPARK_GRAFT_PROFILE_CONF="spark.sql.adaptive.enabled=false;x=y"
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     case class JobRec(desc: String, start: Long, var end: Long = 0L,
@@ -55,13 +59,25 @@ object ProfileQuery {
     try SparkEntry.queries("p02_tokens_full")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    import org.apache.spark.metrics.source.CodegenMetrics
     for (name <- names; rep <- 1 to repeats) {
       jobs.synchronized { jobs.clear(); stageToJob.clear() }
+      val cg0 = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      val cgT0 = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val tCons = (System.nanoTime() - t0) / 1e9
+      val agg = df.groupBy().count() // what Dataset.count() runs internally
+      agg.queryExecution.executedPlan // force analysis+optimization+planning
+      val tPlan = (System.nanoTime() - t0) / 1e9 - tCons
+      agg.collect()
       val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name rep=$rep construct=$tCons%.3f plan=$tPlan%.3f exec=${wall - tCons - tPlan}%.3f")
       Thread.sleep(200) // let listener drain
-      println(f"[profile] $name rep=$rep wall=$wall%.3f s")
+      val ph = agg.queryExecution.tracker.phases
+        .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" ")
+      val cgN = CodegenMetrics.METRIC_COMPILATION_TIME.getCount - cg0
+      println(f"[profile] $name rep=$rep wall=$wall%.3f s  phases: $ph  codegenCompiles=$cgN")
       var sumJob = 0L
       jobs.synchronized {
         jobs.foreach { case (id, j) =>

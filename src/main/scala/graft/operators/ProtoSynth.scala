@@ -163,10 +163,21 @@ object ProtoSynth {
     concat_ws(proto.sep,
       proto.fields.zipWithIndex.map { case (f, i) => raw(f.t, i, did) }: _*)
 
-  /** Parse the synthetic line and project every field (plus doc_id). */
+  /** Parse the synthetic line and project every field (plus doc_id).
+    *
+    * The split-parts array goes through its OWN projection step so each
+    * field's conv expression references a 1-node attribute, not a private
+    * copy of the whole split(concat_ws(...)) subtree — same values, but
+    * the eagerly-analyzed tree shrinks ~20× (measured 1.3 s → ~0.1 s of
+    * driver time per proto query; CollapseProject will not re-inline a
+    * non-cheap expression consumed by every field).
+    */
   def query(proto: Proto)(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val o = Positional.parser(proto)(line(proto, col("did")))
-    df.select(col("doc_id"), o.as("o"))
+    val parts = split(line(proto, col("did")),
+      java.util.regex.Pattern.quote(proto.sep))
+    val o = Positional.fromParts(proto)(col("__parts"))
+    df.select(col("doc_id"), parts.as("__parts"))
+      .select(col("doc_id"), o.as("o"))
       .where(col("o.ok"))
       .select(col("doc_id") +:
         proto.fields.flatMap(f => outCols(f.t, f.name, col(s"o.${f.name}"))): _*)

@@ -73,6 +73,8 @@ object ProfileQuery {
       agg.collect()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[profile] $name rep=$rep construct=$tCons%.3f plan=$tPlan%.3f exec=${wall - tCons - tPlan}%.3f")
+      if (rep == repeats && sys.env.contains("SPARK_GRAFT_PROFILE_EXPLAIN"))
+        println(agg.queryExecution.executedPlan.toString.take(25000))
       Thread.sleep(200) // let listener drain
       val ph = agg.queryExecution.tracker.phases
         .map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" ")

@@ -14,14 +14,15 @@ object SparkEntry {
     // non-ANSI: malformed field → NULL (the reference drops-and-counts bad
     // records, never aborts — /root/reference/src/collector/zeek.rs:118-139)
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    // AQE partition-coalescing floor: the 1 MB default folds byte-SMALL but
-    // compute-DENSE stages (d22's array_intersect verify, the ANN sketch
-    // chains) into one task — bytes are the wrong proxy for compute there
-    // (guide §2.2: size partitions by work, not only bytes). 64 KB keeps
-    // those stages parallel; at cluster scale the advisory size (below)
-    // still bounds partition count, so this only moves the tiny-stage floor.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "65536"))
+    // AQE partition-coalescing floor: Spark's 1 MB default is right for the
+    // suite as a whole (a 64 KB global floor was measured +30 s across the
+    // 212-query bench — every modest shuffle pays extra task scheduling),
+    // but it folds byte-SMALL, compute-DENSE stages into one task; the two
+    // operators with that profile (allPairsSimilarity's array_intersect
+    // verify, mmrSelect's greedy rounds) scope a lower floor locally.
+    // Env knob for experiments only.
+    sys.env.get("SPARK_GRAFT_AQE_MIN_PARTITION").foreach(
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", _))
     // match the engine's own Sessions.local broadcast threshold (64 MB) so
     // the driver-created bench/verify session plans the same joins the dev
     // sessions plan (guide §3.1: broadcast the side that fits — estimates

@@ -20,6 +20,7 @@ object DedupOps {
 
   private val P = 2147483647L // 2^31-1, Mersenne prime for LCG hashing
 
+
   /** Exact dedup: md5(text) groups; keep min doc_id as canonical
     * representative. One map-side-combined hash aggregate — at 100 TB the
     * shuffle carries one row per distinct hash.
@@ -369,10 +370,23 @@ object DedupOps {
     // once or the df join + two windows execute per side (the a05/a06 trap)
     val pref = ranked.where(col("rn") <= col("len") - expr("(len + 1) div 2") + 1)
       .select("sid", "tok", "len").localCheckpoint(true)
+    // the candidate frame is byte-SMALL (two longs per pair) but each pair
+    // costs a real array_intersect over two ~hundreds-token arrays below —
+    // AQE's byte-based coalescing folded the whole verify into ONE task
+    // (measured 4.3–5.2 s single-task at sf0.1 while 31 cores idled). An
+    // explicit hash repartition with a pinned partition count (AQE respects
+    // a user-specified numPartitions) keeps the verify parallel; the count
+    // follows the session's shuffle parallelism, so it scales with the
+    // deployment, not a local constant.
+    val nVerify = rows.sparkSession.sparkContext.defaultParallelism
     val cand = pref.as("a").join(pref.as("b"), "tok")
       .where(col("a.sid") < col("b.sid") &&
         col("a.len") * 2 >= col("b.len") && col("b.len") * 2 >= col("a.len"))
       .select(col("a.sid").as("doc_a"), col("b.sid").as("doc_b")).distinct()
+      // keyed on doc_a ALONE so it cannot collapse into the distinct's
+      // (doc_a, doc_b) exchange — a user-pinned partition count survives
+      // AQE, an ENSURE_REQUIREMENTS exchange gets coalesced by bytes
+      .repartition(nVerify, col("doc_a"))
     // verify via per-pair set intersection on collected token ARRAYS (the
     // same fix the d04 oracle made: the explicit two-key token join pushes
     // |pairs|·|doc| exploded rows through a shuffle — 23M at sf0.1 for 87k
@@ -472,23 +486,33 @@ object DedupOps {
     try {
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
-      // edge relaxation: min label among self + neighbors. The self branch
-      // carries the OLD label through the aggregate (max over one non-null)
-      // so the convergence check below needs no extra join against the
-      // previous round — one checkpointed frame serves both.
-      val viaEdges = edges.join(labels, edges("src") === labels("sid"))
+    // one relax+jump step over a (sid, lbl, old) frame; `old` (the label at
+    // the START of the materialization window) rides through untouched so
+    // the convergence check compares across however many chained steps
+    // preceded the checkpoint. Labels only ever DECREASE toward the
+    // component min, so "no change across two chained steps" ⇔ "fixpoint"
+    // — exactly the old per-step criterion, reached with half the
+    // checkpoints, counts and per-round plans (each a full job barrier +
+    // driver planning round, the measured bulk of the loop's cost at small
+    // scale and a scheduling barrier at any scale, guide §2.6).
+    def step(cur: DataFrame): DataFrame = {
+      // edge relaxation: min label among self + neighbors; the self branch
+      // carries `old` through the aggregate (max over one non-null)
+      val viaEdges = edges.join(cur, edges("src") === cur("sid"))
         .select(col("dst").as("sid"), col("lbl"), lit(null).cast("long").as("old"))
-      val relaxed = labels.select(col("sid"), col("lbl"), col("lbl").as("old"))
+      val relaxed = cur.select(col("sid"), col("lbl"), col("old"))
         .union(viaEdges)
         .groupBy("sid").agg(min(col("lbl")).as("lbl"), max(col("old")).as("old"))
       // pointer jumping: follow lbl → lbl(lbl), compressing label chains so
       // convergence scales with log(diameter) rather than diameter
       val parents = relaxed.select(col("sid").as("p_sid"), col("lbl").as("p_lbl"))
-      val next = relaxed.join(parents, relaxed("lbl") === parents("p_sid"), "left")
+      relaxed.join(parents, relaxed("lbl") === parents("p_sid"), "left")
         .select(col("sid"),
           least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("lbl"), col("old"))
-        .localCheckpoint(true)
+    }
+    while (!converged && i < maxIters) {
+      val start = labels.select(col("sid"), col("lbl"), col("lbl").as("old"))
+      val next = step(step(start)).localCheckpoint(true)
       val changed = next.where(col("lbl") =!= col("old")).count()
       labels = next.select("sid", "lbl")
       converged = changed == 0

@@ -90,6 +90,8 @@ object ProfileQuery {
         println(f"[profile]   njobs=${jobs.size} sumJobWall=${sumJob} ms (wall-sumJob = driver/planning gap)")
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_RULES"))
+      println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
     spark.stop()
   }
 }

@@ -22,8 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Pinned testdata schemas (TESTDATA.md contract, printed by
+    * graft.PrintSchemas): an explicit schema skips the per-read parquet
+    * schema-inference resolution, which profiled as the single largest
+    * analyzer cost across the 212-query bench (ResolveDataSource ≈ 42% of
+    * total rule time — a footer read + resolution per `spark.read.parquet`
+    * call, paid by every query). Tables outside this map (none today) fall
+    * back to inference.
+    */
+  private val schemas: Map[String, String] = Map(
+    "documents" -> "doc_id BIGINT,text STRING,lang STRING,source STRING,n_chars BIGINT",
+    "embeddings" -> "vec_id BIGINT,embedding ARRAY<FLOAT>,label INT",
+    "events" -> ("event_id BIGINT,ts TIMESTAMP_NTZ,user_id BIGINT," +
+      "event_type STRING,value DOUBLE,props STRING"),
+    "lineitem" -> ("l_orderkey BIGINT,l_partkey BIGINT,l_suppkey BIGINT," +
+      "l_linenumber INT,l_quantity DOUBLE,l_extendedprice DOUBLE," +
+      "l_discount DOUBLE,l_tax DOUBLE,l_returnflag STRING,l_linestatus STRING," +
+      "l_shipdate TIMESTAMP_NTZ"),
+    "orders" -> ("o_orderkey BIGINT,o_custkey BIGINT,o_orderstatus STRING," +
+      "o_totalprice DOUBLE,o_orderdate TIMESTAMP_NTZ,o_orderpriority STRING"),
+    "customer" -> ("c_custkey BIGINT,c_name STRING,c_nationkey INT," +
+      "c_acctbal DOUBLE,c_mktsegment STRING"),
+    "nation" -> "n_nationkey INT,n_name STRING,n_regionkey INT",
+    "region" -> "r_regionkey INT,r_name STRING",
+    "supplier" -> "s_suppkey BIGINT,s_name STRING,s_nationkey INT,s_acctbal DOUBLE",
+    "part" -> ("p_partkey BIGINT,p_name STRING,p_brand STRING,p_type STRING," +
+      "p_size INT,p_retailprice DOUBLE"))
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    schemas.get(name) match {
+      case Some(ddl) => spark.read.schema(ddl).parquet(s"$dir/$name.parquet")
+      case None => spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

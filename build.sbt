@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the JVM-wide generated-class cache defaults to 100 entries; a
+  // 212-query session compiles thousands of codegen stages, so the LRU
+  // thrashes and structurally-identical stages recompile (~30-60 ms each,
+  // measured 2-4 s per ANN-family query). Classes are small; 4096 entries
+  // keeps the whole suite's stages resident.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

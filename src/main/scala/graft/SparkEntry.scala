@@ -29,6 +29,14 @@ object SparkEntry {
     // at the 10 MB default flip small model/frequency tables to shuffles)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", (64L << 20).toString))
+    // drop the PREVIOUS query's localCheckpoint blocks before this one
+    // runs: eager checkpoints otherwise accumulate across a 212-query
+    // session until the driver happens to GC the RDD handles, saturating
+    // the storage pool so late queries pay eviction + disk spill for
+    // blocks nothing will ever read again (guide §5 — unpersist when
+    // done). prep runs before a query builds its frames, so every
+    // persistent RDD seen here belongs to an already-completed query.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     graft.functions.GraftFunctions.register(spark)
     spark
   }

@@ -458,6 +458,19 @@ object Ann {
       .select(col("vec_id"), (-col("m.nc")).as("cid"))
   }
 
+  /** A ≤ k-row MODEL ARTIFACT rebuilt as a local relation: collect the
+    * trained rows and re-create them as a literal frame. Same legitimacy
+    * class as the collected DSIR model (a bounded trained artifact, never
+    * corpus-sized); vs localCheckpoint it truncates the per-iteration
+    * lineage without a checkpoint job, and every later broadcast build is
+    * a LocalTableScan instead of replaying a query stage.
+    */
+  private def localModel(df: DataFrame): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** The trained sum-centroids after `iters` Lloyd rounds — shared by
     * [[kmeansSketch]] and the i12 quality report.
     */
@@ -466,9 +479,8 @@ object Ann {
       .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
     for (_ <- 1 to iters) {
       val sums = (0 until kProj).map(t => sum(col(s"s$t")).as(s"c$t"))
-      cents = kmAssign(sk, cents, kProj).join(sk, "vec_id")
-        .groupBy("cid").agg(sums.head, sums.tail: _*)
-        .localCheckpoint(true) // ≤ k rows; truncates the per-iteration lineage
+      cents = localModel(kmAssign(sk, cents, kProj).join(sk, "vec_id")
+        .groupBy("cid").agg(sums.head, sums.tail: _*))
     }
     cents
   }
@@ -498,13 +510,25 @@ object Ann {
   def kmeansQuality(emb: DataFrame, k: Int = 16, iters: Int = 2,
                     kProj: Int = 32): DataFrame = {
     val sk = sketches(emb, kProj).localCheckpoint(true)
-    val cents = kmCents(sk, k, iters, kProj).localCheckpoint(true)
-    val asn = kmAssign(sk, cents, kProj)
+    val cents = kmCents(sk, k, iters, kProj) // already a ≤ k-row local model
     val dotF = (0 until kProj).map(t => col(s"s$t").cast("double") * col(s"c$t")).reduce(_ + _)
     val knorm = (0 until kProj).map(t => col(s"s$t").cast("double") * col(s"s$t")).reduce(_ + _)
     val cnorm = (0 until kProj).map(t => col(s"c$t").cast("double") * col(s"c$t")).reduce(_ + _)
-    val per = asn.join(sk, "vec_id").join(broadcast(cents), "cid")
-      .withColumn("ce6", floor(dotF / (sqrt(knorm) * sqrt(cnorm)) * 1e6).cast("long"))
+    // ONE fused pass computes the final assignment AND the member→centroid
+    // cosine: the old shape ran kmAssign (a full sk×cents scan), then
+    // re-joined sk and cents back just to recompute the same dot products.
+    // The winner's ce6 rides the argmax struct as a trailing field —
+    // (score, -cid) is already a total order per vector (cid is unique),
+    // so the extra field never influences which row wins, and both the
+    // score and ce6 expressions are byte-identical to the unfused forms.
+    val scored = sk.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dotF / sqrt(cnorm)).as("score"),
+        floor(dotF / (sqrt(knorm) * sqrt(cnorm)) * 1e6).cast("long").as("ce6"))
+    val win = scored.groupBy("vec_id")
+      .agg(max(struct(col("score"), (-col("cid")).as("nc"), col("ce6"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"), col("m.ce6").as("ce6"))
+    val per = win
       .groupBy("cid").agg(count(lit(1)).as("n"), sum(col("ce6")).as("se"))
       .select(col("cid").as("cluster"), col("n"),
         expr("(se + n * 1000000) div n - 1000000").as("mean_cos_e6"))
@@ -534,8 +558,11 @@ object Ann {
     */
   private def ivfBase(emb: DataFrame, nCells: Int, kProj: Int): (DataFrame, DataFrame) = {
     val sk = sketches(emb, kProj).localCheckpoint(true)
-    val cents = sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
+    // ≤ nCells-row coarse-centroid model as a local relation (see
+    // [[localModel]]): evaluated once instead of once per broadcast build
+    val cents = localModel(
+      sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*))
     (sk, cents)
   }
 

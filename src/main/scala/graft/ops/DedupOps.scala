@@ -303,18 +303,31 @@ object DedupOps {
     * ([[shingleRows]] with dedup=true) — duplicates inflate `inter`.
     */
   def jaccardRows(rows: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = rows.groupBy("sid").agg(count(lit(1)).as("sz"))
-    val toksB = rows.select(col("sid").as("__doc_b"), col("tok").as("tok_b"))
-    val inter = pairs
-      .join(rows.select(col("sid").as("doc_a"), col("tok").as("tok_a")), "doc_a")
-      .join(toksB, col("doc_b") === col("__doc_b") && col("tok_a") === col("tok_b"))
-      .drop("__doc_b")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("sid").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("sid").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+    // per-pair set intersection on collected token ARRAYS — the same shape
+    // the d22 verify (and the d04 oracle) use: the explicit two-key token
+    // join pushed |pairs|·|doc| exploded rows through a shuffle, while the
+    // array join ships each candidate doc's token set ONCE and intersects
+    // in place (array_intersect is a native codegen expression, and the
+    // rows-distinct precondition makes size() the exact set intersection).
+    val nVerify = rows.sparkSession.sparkContext.defaultParallelism
+    val docsArr = rows.groupBy("sid")
+      .agg(collect_list(col("tok")).as("ts"), count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    pairs
+      // byte-small pair frame, compute-dense verify: pin the parallelism
+      // (keyed on doc_a alone — see allPairsSimilarity) or AQE folds the
+      // whole intersect stage into one task by bytes
+      .repartition(nVerify, col("doc_a"))
+      .join(docsArr.select(col("sid").as("doc_a"),
+        col("ts").as("__ta"), col("sz").as("sz_a")), "doc_a")
+      .join(docsArr.select(col("sid").as("doc_b"),
+        col("ts").as("__tb"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .drop("__ta", "__tb")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"),
+        col("jaccard"))
   }
 
   /** EXACT all-pairs similarity self-join by prefix filtering (Bayardo,

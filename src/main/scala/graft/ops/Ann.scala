@@ -465,7 +465,7 @@ object Ann {
     * lineage without a checkpoint job, and every later broadcast build is
     * a LocalTableScan instead of replaying a query stage.
     */
-  private def localModel(df: DataFrame): DataFrame = {
+  private[ops] def localModel(df: DataFrame): DataFrame = {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(df.collect(): _*)
     df.sparkSession.createDataFrame(rows, df.schema)

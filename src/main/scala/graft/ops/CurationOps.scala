@@ -292,10 +292,13 @@ object CurationOps {
       val withNext = rows.withColumn("nxt", lead(col("sym"), 1).over(wW))
       val pairs = withNext.where(col("nxt").isNotNull)
         .groupBy("sym", "nxt").agg(sum(col("wf")).as("freq"))
-      val top = pairs.orderBy(col("freq").desc, col("sym"), col("nxt")).limit(topM)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("sym"), col("nxt"))))
-        .localCheckpoint(true) // feeds the output AND the round's merge
+      // ≤ topM rows — the round's trained merge-table slice; a local-
+      // relation model artifact (Ann.localModel) instead of a checkpoint:
+      // feeds the output AND the round's merge with zero extra jobs
+      val top = Ann.localModel(
+        pairs.orderBy(col("freq").desc, col("sym"), col("nxt")).limit(topM)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("sym"), col("nxt")))))
       val t1 = top.where(col("rank") === 1)
         .select(col("sym").as("ml"), col("nxt").as("mr"))
       val marked = withNext.crossJoin(broadcast(t1))

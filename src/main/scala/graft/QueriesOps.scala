@@ -132,11 +132,14 @@ object QueriesOps {
     // so the prefix filter actually filters (100x measured — see the op's
     // scaladoc). The window frame feeds df/rank/verify — materialize once
     "d22_allpairs" -> ((s, dir) =>
+      // per-doc array_distinct instead of a corpus-wide (sid, tok)
+      // distinct exchange — duplicates only arise within one document
       DedupOps.allPairsSimilarity(
         docs(s, dir).repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id").as("sid"),
-            explode(graft.functions.WindowHashes.of(col("text"), 16)).as("tok"))
-          .distinct().localCheckpoint(true), tE6 = 500000L)),
+            explode(array_distinct(
+              graft.functions.WindowHashes.of(col("text"), 16))).as("tok"))
+          .localCheckpoint(true), tE6 = 500000L)),
 
     "d04_lsh_jaccard" -> ((s, dir) => {
       // the shingle rows feed TWO consumers (banding + verification) —

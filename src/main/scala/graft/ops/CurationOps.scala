@@ -120,9 +120,13 @@ object CurationOps {
     */
   def contaminationRate(docs: DataFrame, evalPred: Column, n: Int,
                         dirtyPpm: Long): DataFrame = {
+    // duplicate (sid, sub) rows only arise within one document, so dedup is
+    // an array_distinct BEFORE the explode — same set, zero shuffle (the
+    // row-level distinct exchanged the corpus-sized window frame)
     val win = docs.select(col("doc_id").as("sid"),
-        explode(graft.functions.WindowHashes.of(col("text"), n)).as("sub"))
-      .distinct().localCheckpoint(true)
+        explode(array_distinct(
+          graft.functions.WindowHashes.of(col("text"), n))).as("sub"))
+      .localCheckpoint(true)
     val ev = win.where(evalPred).select("sub").distinct()
       .withColumn("hit", lit(1L))
     val perDoc = win.where(!evalPred)
@@ -407,9 +411,11 @@ object CurationOps {
   def repeatedSubstrings(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
     // one linear codegen pass per doc (WindowHashes slide) instead of an
     // n-node substr chain per position — same hash values, same oracle
+    // per-doc array_distinct replaces the corpus-wide (sid, sub) distinct
+    // exchange — duplicates only exist within a document (see shingleRows)
     docs.select(col("doc_id").as("sid"),
-        explode(graft.functions.WindowHashes.of(col("text"), n)).as("sub"))
-      .distinct()
+        explode(array_distinct(
+          graft.functions.WindowHashes.of(col("text"), n))).as("sub"))
       .groupBy("sub").agg(count(lit(1)).as("n_docs"), min(col("sid")).as("first_sid"))
       .where(col("n_docs") >= minDocs)
   }
@@ -432,9 +438,12 @@ object CurationOps {
   def substringNovelty(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
     // one linear codegen pass per doc (WindowHashes slide) instead of an
     // n-node substr chain per position — same hash values, same oracle
+    // per-doc array_distinct replaces the corpus-wide (sid, sub) distinct
+    // exchange — duplicates only exist within a document (see shingleRows)
     val win = docs.select(col("doc_id").as("sid"),
-        explode(graft.functions.WindowHashes.of(col("text"), n)).as("sub"))
-      .distinct().localCheckpoint(true)
+        explode(array_distinct(
+          graft.functions.WindowHashes.of(col("text"), n))).as("sub"))
+      .localCheckpoint(true)
     val cnt = win.groupBy("sub").agg(count(lit(1)).as("nd"))
     val perDoc = win.join(cnt, "sub")
       .groupBy("sid")
@@ -497,7 +506,15 @@ object CurationOps {
     val lines = framed.select(col("did"),
       posexplode(split(col("raw"), "\n")).as(Seq("idx", "line")))
       .withColumn("lh", md5(col("line")))
-    val ldf = lines.select("did", "lh").distinct()
+    // duplicate (did, lh) rows only arise when a line repeats WITHIN one
+    // document, so the doc-frequency dedup is an array_distinct over the
+    // per-doc line-hash array before the explode — same (did, lh) set with
+    // no corpus-wide distinct exchange; the count on the fixed-width hash
+    // then combines map-side as before. Per-doc set state is bounded by
+    // the document's own line count at any scale.
+    val ldf = framed.select(col("did"),
+        explode(array_distinct(transform(split(col("raw"), "\n"),
+          l => md5(l)))).as("lh"))
       .groupBy("lh").agg(count(lit(1)).as("ldf"))
     lines.join(ldf, "lh")
       .groupBy("did").agg(

@@ -194,13 +194,17 @@ object DedupOps {
                   dedup: Boolean = true): DataFrame = {
     // one linear WindowHashes pass per doc (same values: stepwise mod ==
     // the chain's single final mod) instead of n substr+ascii nodes per
-    // exploded position
-    val rows = docs.select(col(idCol).as("sid"),
-      explode(graft.functions.WindowHashes.of(col(textCol), n, P)).as("__h"))
+    // exploded position. Duplicate (sid, tok) rows can only arise WITHIN
+    // one document (repeated windows of its own text), so the dedup is an
+    // array_distinct over the per-doc hash array BEFORE the explode — the
+    // identical (sid, tok) set with ZERO shuffle, where a row-level
+    // .distinct() exchanged the whole corpus-sized token frame on
+    // (sid, tok) (guide §2.4: remove shuffles outright). Per-doc set state
+    // is bounded by the document's own length at any corpus size.
+    val hashes = graft.functions.WindowHashes.of(col(textCol), n, P)
+    val arr = if (dedup) array_distinct(hashes) else hashes
+    docs.select(col(idCol).as("sid"), explode(arr).as("__h"))
       .select(col("sid"), col("__h").cast("int").as("tok"))
-    // the distinct is a real shuffle: skip it for duplicate-insensitive
-    // consumers (MinHash min); Jaccard/overlap counts REQUIRE dedup=true
-    if (dedup) rows.distinct() else rows
   }
 
   /** k-wide MinHash signature from (sid, tok) rows — the aggregate form of

@@ -729,9 +729,13 @@ object Ann {
         .agg(max(struct(col("mmr"), (-col("c_id")).as("ni"))).as("m"))
         .select(col("q_id"), (-col("m.ni")).as("c_id"),
           lit(pick).as("pick"), col("m.mmr").as("mmr"))
-    var selected = argmax(
+    // the running selection is ≤ Q·k rows by construction — a bounded
+    // result artifact; per round a local relation (localModel) replaces an
+    // eager checkpoint, so each greedy round re-joins a literal table
+    // instead of re-materializing a query-stage chain
+    var selected = localModel(argmax(
       pool.select(col("q_id"), col("c_id"), (col("rel") * lambdaPpm).as("mmr")),
-      pick = 1).localCheckpoint(true)
+      pick = 1))
     (2 to k).foreach { i =>
       val selIds = selected.select(col("q_id"), col("c_id"))
       val cand = pool.join(selIds, Seq("q_id", "c_id"), "left_anti")
@@ -742,7 +746,7 @@ object Ann {
       val scored = cand.join(maxsim, Seq("q_id", "c_id"))
         .select(col("q_id"), col("c_id"),
           (col("rel") * lambdaPpm - col("maxsim") * mu).as("mmr"))
-      selected = selected.unionByName(argmax(scored, i)).localCheckpoint(true)
+      selected = localModel(selected.unionByName(argmax(scored, i)))
     }
     selected
   }

@@ -384,14 +384,22 @@ object CurationOps {
     * (count, then score) with map-side combine on both aggregates.
     */
   def lmFamiliarity(docs: DataFrame): DataFrame = {
-    def a(off: Int): Column = ascii(col("text").substr(col("i") + lit(off), lit(1)))
+    // one linear WindowHashes slide per doc instead of 3 substr+ascii nodes
+    // per exploded position. With n = 3 the unmodded base-31 code-point
+    // fold peaks at ((0x10FFFF·31)+0x10FFFF)·31+0x10FFFF ≈ 1.1e9 and the
+    // slide's intermediates at ≈ 3.4e10, so a modulus far above that is
+    // NEVER taken and the slide equals the exact polynomial — bit-identical
+    // to the oracle's ((a0·31+a1)·31+a2) ascii fold (code points, like the
+    // chain's `ascii(substr(...))` — the FingerprintPropSpec-pinned unit).
+    // The length<3 guard is the expression's own empty-array-for-short-
+    // strings behavior; explode drops those docs identically.
     // materialized once: `tri` feeds the LM count AND the score join — an
     // unmaterialized plan re-runs the corpus trigram explode for each consumer
     // (two full corpus scans at 100 TB where one pass suffices)
-    val tri = docs.where(length(col("text")) >= 3)
-      .select(col("doc_id").as("did"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 2)).as("i"))
-      .select(col("did"), ((a(0) * 31 + a(1)) * 31 + a(2)).cast("long").as("g"))
+    val tri = docs
+      .select(col("doc_id").as("did"),
+        explode(graft.functions.WindowHashes.of(col("text"), 3,
+          1000000000000000003L)).as("g"))
       .localCheckpoint(true)
     val lm = tri.groupBy("g").agg(count(lit(1)).as("cnt"))
     tri.join(broadcast(lm), "g")

@@ -475,8 +475,13 @@ object Ann {
     * [[kmeansSketch]] and the i12 quality report.
     */
   private def kmCents(sk: DataFrame, k: Int, iters: Int, kProj: Int): DataFrame = {
-    var cents = sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*)
+    // the seed is a ≤ k-row model artifact like every later round's
+    // centroids — materializing it the same way makes ALL iterations'
+    // plans shape-identical (sk × LocalRelation → aggregates), so the
+    // generated-class cache compiles one round and reuses it for the rest
+    var cents = localModel(
+      sk.where(col("vec_id") % 13 === 7).orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid") +: (0 until kProj).map(t => col(s"s$t").as(s"c$t")): _*))
     for (_ <- 1 to iters) {
       val sums = (0 until kProj).map(t => sum(col(s"s$t")).as(s"c$t"))
       cents = localModel(kmAssign(sk, cents, kProj).join(sk, "vec_id")
